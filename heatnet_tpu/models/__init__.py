@@ -1,0 +1,25 @@
+"""heatnet_tpu model zoo (flax.linen, NHWC, mixed precision)."""
+
+from .conf_segnet import ConfSegnet
+from .cyclegan import Discriminator, Generator
+from .layers import NormAct
+from .mfnet import MFNet
+from .pspnet import PSPNet
+from .registry import MODELS, build_network, get_model
+from .rtfnet import RTFNet
+from .segnetsplit import ResNeXtDecoder, ResNeXtEncoder
+from .trgb_segnet import (
+    ResNeXtSeg,
+    net_resnext50,
+    net_resnext101,
+    net_resnext152,
+    tap_channels,
+)
+from .unet import UNetAdapter, UNetSeg
+
+__all__ = [
+    "ConfSegnet", "Discriminator", "Generator", "NormAct", "MFNet", "PSPNet",
+    "MODELS", "build_network", "get_model", "RTFNet", "ResNeXtDecoder",
+    "ResNeXtEncoder", "ResNeXtSeg", "net_resnext50", "net_resnext101",
+    "net_resnext152", "tap_channels", "UNetAdapter", "UNetSeg",
+]

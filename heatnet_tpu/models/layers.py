@@ -1,0 +1,390 @@
+"""Shared building blocks for the heatnet_tpu model zoo.
+
+TPU-first conventions used by every model here:
+
+- **NHWC layout** (TPU-native; the reference is NCHW torch).
+- **Mixed precision**: ``dtype`` is the activation/compute dtype (bfloat16 by
+  default at call sites), ``param_dtype`` stays float32.
+- **BatchNorm** uses flax's running statistics; pass ``axis_name="data"``
+  to make train-time statistics cross-replica (the reference's per-GPU BN of
+  ``nn.DataParallel`` corresponds to ``axis_name=None``).
+- Submodule attribute names mirror the reference torch module names
+  (``bn1``, ``convs.conv1``, ``mod2_1`` ...) so the torch→jax checkpoint
+  converter is a mechanical rename.
+
+Reference blocks rebuilt here:
+- ``ABN`` (BatchNorm+activation)      — models/segnet.py:20-41
+- ``IdentityResidualBlock``           — models/segnet.py:44-124
+- ``ASPP`` (+cert head)               — models/confusion_maximization/models/trgb_segnet.py:133-179
+- ``fuseModule``                      — models/segnet.py:188-196
+- ``initBlock``                       — models/confusion_maximization/models/trgb_segnet.py:231-240
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Norm + activation configuration ("norm_act" factory of helper/utils.py:33-46)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class NormAct:
+    """Configuration bundle for ABN blocks (replaces the torch partial)."""
+
+    activation: str = "relu"  # relu | leaky_relu | elu | none
+    leaky_slope: float = 0.01
+    bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum (0.1)
+    bn_epsilon: float = 1e-5
+    axis_name: Optional[str] = None  # "data" → cross-replica batch stats
+
+    def act(self, x: jax.Array) -> jax.Array:
+        if self.activation == "relu":
+            return nn.relu(x)
+        if self.activation == "leaky_relu":
+            return nn.leaky_relu(x, negative_slope=self.leaky_slope)
+        if self.activation == "elu":
+            return nn.elu(x)
+        if self.activation == "none":
+            return x
+        raise ValueError(f"unknown activation {self.activation}")
+
+
+class ABN(nn.Module):
+    """Activated Batch Normalization: BN then activation (segnet.py:20-41)."""
+
+    norm_act: NormAct = NormAct()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.norm_act.bn_momentum,
+            epsilon=self.norm_act.bn_epsilon,
+            axis_name=self.norm_act.axis_name if train else None,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return self.norm_act.act(x)
+
+
+def conv(
+    features: int,
+    kernel: int,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    padding: Optional[int] = None,
+    use_bias: bool = False,
+    name: Optional[str] = None,
+    dtype: Any = jnp.float32,
+    kernel_init: Optional[Callable] = None,
+) -> nn.Conv:
+    """2D conv with torch-style explicit integer padding (NHWC)."""
+    if padding is None:
+        # torch default in these models: padding = dilation for 3x3, 0 for 1x1
+        padding = dilation if kernel == 3 else 0
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        kernel_dilation=(dilation, dilation),
+        feature_group_count=groups,
+        use_bias=use_bias,
+        dtype=dtype,
+        name=name,
+        kernel_init=kernel_init or nn.initializers.lecun_normal(),
+    )
+
+
+def deconv(
+    features: int,
+    kernel: int,
+    stride: int,
+    padding: int,
+    use_bias: bool = False,
+    name: Optional[str] = None,
+    dtype: Any = jnp.float32,
+    kernel_init: Optional[Callable] = None,
+) -> nn.ConvTranspose:
+    """Transposed conv matching torch ``ConvTranspose2d(k, s, p)`` geometry.
+
+    For inputs of size n, torch emits ``(n-1)*s - 2p + k``. Flax pads the
+    stride-dilated input and runs a VALID conv, so torch's ``p`` corresponds
+    to a flax per-side padding of ``k - 1 - p``.
+    """
+    f = kernel - 1 - padding
+    return nn.ConvTranspose(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((f, f), (f, f)),
+        use_bias=use_bias,
+        dtype=dtype,
+        name=name,
+        kernel_init=kernel_init or nn.initializers.lecun_normal(),
+    )
+
+
+def bilinear_kernel_init(key, shape, dtype=jnp.float32):
+    """Bilinear-interpolation initializer for upsampling deconvs.
+
+    Equivalent of ``get_upsample_filter`` (scripts/main.py:346-361): each
+    (in==out) channel pair gets the separable triangle filter.
+    """
+    kh, kw, cin, cout = shape  # flax ConvTranspose kernel: (kh, kw, in, out)
+    factor_h, factor_w = (kh + 1) // 2, (kw + 1) // 2
+    center_h = factor_h - 1 if kh % 2 == 1 else factor_h - 0.5
+    center_w = factor_w - 1 if kw % 2 == 1 else factor_w - 0.5
+    og = np.ogrid[:kh, :kw]
+    filt = (1 - abs(og[0] - center_h) / factor_h) * (1 - abs(og[1] - center_w) / factor_w)
+    kernel = np.zeros(shape, dtype=np.float32)
+    for c in range(min(cin, cout)):
+        kernel[:, :, c, c] = filt
+    return jnp.asarray(kernel, dtype)
+
+
+def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """``nn.MaxPool2d(3, stride=2, padding=1)`` equivalent (NHWC)."""
+    return nn.max_pool(
+        x, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+    )
+
+
+def global_avg_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
+    """Mean over H, W (segnet.py GlobalAvgPool2d)."""
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+def adaptive_avg_pool(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """``F.adaptive_avg_pool2d`` with exact torch bin arithmetic (NHWC).
+
+    Output bins span ``[floor(i*H/out), ceil((i+1)*H/out))``. Shapes are
+    static under jit, so the bin averaging matrices are trace-time numpy
+    constants and the op lowers to two small matmuls (MXU-friendly).
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+
+    def bin_matrix(size: int, out: int) -> np.ndarray:
+        m = np.zeros((out, size), dtype=np.float32)
+        for i in range(out):
+            lo = (i * size) // out
+            hi = -(-((i + 1) * size) // out)  # ceil
+            m[i, lo:hi] = 1.0 / (hi - lo)
+        return m
+
+    mh = jnp.asarray(bin_matrix(h, oh), x.dtype)  # (oh, h)
+    mw = jnp.asarray(bin_matrix(w, ow), x.dtype)  # (ow, w)
+    x = jnp.einsum("oh,nhwc->nowc", mh, x)
+    return jnp.einsum("pw,nowc->nopc", mw, x)
+
+
+def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize (half-pixel centers) to (H, W), NHWC.
+
+    Torch's ``UpsamplingBilinear2d`` uses align_corners=True; for the places
+    the reference upsamples (constant global-pool branches, critic score maps,
+    PSP priors) the half-pixel convention is an accepted deviation —
+    documented here once.
+    """
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, out_hw[0], out_hw[1], c), method="bilinear")
+
+
+def resize_nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, out_hw[0], out_hw[1], c), method="nearest")
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """torch ``InstanceNorm2d`` default (affine=False): per-sample, per-channel."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+# initializer equal to the reference's weights_init_normal
+# (models/confusion_maximization/utils.py:126-132)
+normal002 = nn.initializers.normal(stddev=0.02)
+
+
+# ---------------------------------------------------------------------------
+# Residual / ASPP / fusion blocks
+# ---------------------------------------------------------------------------
+
+
+class IdentityResidualBlock(nn.Module):
+    """Pre-activation (identity-mapping) residual block (segnet.py:44-124).
+
+    ``channels`` of length 2 → two 3x3 convs; length 3 → 1x1/3x3(grouped)/1x1
+    bottleneck. The projection shortcut (when stride != 1 or channel change)
+    consumes the *normalized* input, as in the reference.
+    """
+
+    channels: Sequence[int]
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    norm_act: NormAct = NormAct()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        chans = tuple(self.channels)
+        if len(chans) not in (2, 3):
+            raise ValueError("channels must contain either two or three values")
+        if len(chans) == 2 and self.groups != 1:
+            raise ValueError("groups > 1 are only valid if len(channels) == 3")
+        is_bottleneck = len(chans) == 3
+        in_channels = x.shape[-1]
+        need_proj = self.stride != 1 or in_channels != chans[-1]
+
+        bn1 = ABN(self.norm_act, self.dtype, name="bn1")(x, train)
+        shortcut = (
+            conv(chans[-1], 1, stride=self.stride, name="proj_conv", dtype=self.dtype)(bn1)
+            if need_proj
+            else x
+        )
+
+        if not is_bottleneck:
+            out = conv(chans[0], 3, stride=self.stride, dilation=self.dilation,
+                       name="conv1", dtype=self.dtype)(bn1)
+            out = ABN(self.norm_act, self.dtype, name="bn2")(out, train)
+            out = conv(chans[1], 3, dilation=self.dilation, name="conv2",
+                       dtype=self.dtype)(out)
+        else:
+            out = conv(chans[0], 1, stride=self.stride, name="conv1", dtype=self.dtype)(bn1)
+            out = ABN(self.norm_act, self.dtype, name="bn2")(out, train)
+            out = conv(chans[1], 3, dilation=self.dilation, groups=self.groups,
+                       name="conv2", dtype=self.dtype)(out)
+            out = ABN(self.norm_act, self.dtype, name="bn3")(out, train)
+            out = conv(chans[2], 1, name="conv3", dtype=self.dtype)(out)
+
+        return out + shortcut.astype(out.dtype)
+
+
+class ConvABN(nn.Module):
+    """conv → ABN, the ``createConv`` unit of ASPP (trgb_segnet.py:152-163)."""
+
+    features: int
+    kernel: int = 1
+    dilation: int = 1
+    norm_act: NormAct = NormAct()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = (1 if self.kernel == 3 else 0)
+        if self.dilation != 1:
+            pad = self.dilation
+        x = conv(self.features, self.kernel, dilation=self.dilation, padding=pad,
+                 name="conv1", dtype=self.dtype)(x)
+        return ABN(self.norm_act, self.dtype, name="bn1")(x, train)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling, rates [1, 12, 24, 36] + global branch.
+
+    Reference trgb_segnet.py:133-179. Returns ``(out, fusion, out_cert)``;
+    ``out_cert`` is None unless ``cert_head`` (the Vistas segnet.py:128-172
+    variant has no cert head and ignores fusion).
+    """
+
+    out_channels: int
+    rates: Sequence[int] = (1, 12, 24, 36)
+    kernels: Sequence[int] = (1, 3, 3, 3)
+    cert_head: bool = False
+    norm_act: NormAct = NormAct()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        branches = []
+        for i, (r, k) in enumerate(zip(self.rates, self.kernels)):
+            branches.append(
+                ConvABN(256, k, r, self.norm_act, self.dtype, name=f"conv{i + 1}")(x, train)
+            )
+        # global-average branch, broadcast back to the spatial grid
+        g = global_avg_pool(x)  # (N,1,1,C)
+        g = ConvABN(256, 1, 1, self.norm_act, self.dtype, name="conv5")(g, train)
+        g = jnp.broadcast_to(g, branches[-1].shape[:3] + (g.shape[-1],))
+        branches.append(g)
+
+        fusion = ConvABN(256, 1, 1, self.norm_act, self.dtype, name="fuse_conv")(
+            jnp.concatenate(branches, axis=-1), train
+        )
+        out = ConvABN(self.out_channels, 1, 1, self.norm_act, self.dtype,
+                      name="final_conv")(fusion, train)
+        out_cert = None
+        if self.cert_head:
+            out_cert = ConvABN(1, 1, 1, self.norm_act, self.dtype,
+                               name="final_conv2")(fusion, train)
+        return out, fusion, out_cert
+
+
+class FuseModule(nn.Module):
+    """Three 3x3 conv(+ABN) stages then a 4x learned upsample.
+
+    Reference ``fuseModule`` (segnet.py:188-196): conv(ch_in→ch_in)+ABN ×2,
+    conv(ch_in→ch_out), ConvTranspose2d(8, 4, 2).
+    """
+
+    out_channels: int
+    norm_act: NormAct = NormAct()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ch_in = x.shape[-1]
+        x = conv(ch_in, 3, name="conv1", dtype=self.dtype)(x)
+        x = ABN(self.norm_act, self.dtype, name="bn1")(x, train)
+        x = conv(ch_in, 3, name="conv2", dtype=self.dtype)(x)
+        x = ABN(self.norm_act, self.dtype, name="bn2")(x, train)
+        x = conv(self.out_channels, 3, name="conv3", dtype=self.dtype)(x)
+        return deconv(self.out_channels, 8, 4, 2, name="up", dtype=self.dtype)(x)
+
+
+class InitBlock(nn.Module):
+    """Input stem: 3x3 s2 → ABN → 3x3 → ABN → 3x3 → maxpool s2 (4x downsample).
+
+    Reference ``initBlock`` (trgb_segnet.py:231-240); also segnet.py's
+    ``input_3x3`` stem (segnet.py:263-271).
+    """
+
+    norm_act: NormAct = NormAct()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = conv(64, 3, stride=2, name="conv1", dtype=self.dtype)(x)
+        x = ABN(self.norm_act, self.dtype, name="bn1")(x, train)
+        x = conv(64, 3, name="conv2", dtype=self.dtype)(x)
+        x = ABN(self.norm_act, self.dtype, name="bn2")(x, train)
+        x = conv(64, 3, name="conv3", dtype=self.dtype)(x)
+        return max_pool_3x3_s2(x)
+
+
+def stride_dilation(mod_id: int, block_id: int, dilation) -> Tuple[int, int]:
+    """Per-block (stride, dilation) schedule (segnet.py:354-366)."""
+    if dilation == 1:
+        return (2 if mod_id > 0 and block_id == 0 else 1), 1
+    d = dilation[mod_id]
+    if d == 1:
+        return (2 if mod_id > 0 and block_id == 0 else 1), 1
+    try:
+        d = d[block_id]
+    except TypeError:
+        pass
+    return 1, d

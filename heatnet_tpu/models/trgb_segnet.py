@@ -1,0 +1,209 @@
+"""ResNeXt-ASPP segmentation network ("segnet"), Vistas and HeatNet variants.
+
+One flax module covers both reference implementations:
+
+- Vistas variant (``/root/reference/models/segnet.py:224-366``): RGB-only,
+  optional 7x7 stem, returns logits only.
+- HeatNet trgb variant
+  (``/root/reference/models/confusion_maximization/models/trgb_segnet.py:242-416``):
+  configurable input channels (RGB+IR early fusion), optional **late fusion**
+  (dual stems ``mod1``/``mod1_2`` + dual stage-2, concatenated before stage
+  3), optional certainty branch, and 6 intermediate feature taps consumed by
+  the adversarial critics.
+
+Output tuple mirrors trgb_segnet.forward (:399-402):
+``(seg, [seg, cat(fusion, skip_down), out_4, out_3, out_2, out_1], seg_cert)``.
+
+TPU notes: NHWC; compute dtype is configurable (bfloat16 keeps the grouped
+convs and deconvs on the MXU at full rate); logits are returned float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    ABN,
+    ASPP,
+    FuseModule,
+    InitBlock,
+    IdentityResidualBlock,
+    NormAct,
+    adaptive_avg_pool,
+    conv,
+    deconv,
+    max_pool_3x3_s2,
+    stride_dilation,
+)
+
+
+class _Stage(nn.Module):
+    """A group of IdentityResidualBlocks (one ``mod{i}_{j}`` of the reference)."""
+
+    num_blocks: int
+    channels: Sequence[int]
+    mod_id: int
+    groups: int
+    dilation: Any
+    norm_act: NormAct
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for block_id in range(self.num_blocks):
+            s, d = stride_dilation(self.mod_id, block_id, self.dilation)
+            x = IdentityResidualBlock(
+                channels=self.channels,
+                stride=s,
+                dilation=d,
+                groups=self.groups,
+                norm_act=self.norm_act,
+                dtype=self.dtype,
+                name=f"block{block_id + 1}",
+            )(x, train)
+        return x
+
+
+class Stem7x7(nn.Module):
+    """7x7 stride-1 conv + maxpool stem (segnet.py:272-276, input_3x3=False)."""
+
+    norm_act: NormAct
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = conv(64, 7, padding=3, name="conv1", dtype=self.dtype)(x)
+        return max_pool_3x3_s2(x)
+
+
+class ResNeXtSeg(nn.Module):
+    """Pre-activation ResNeXt backbone + ASPP + fuse/upsample head.
+
+    Parameters mirror the reference constructors; ``structure=[3,4,6,3]`` is
+    resnext50 (trgb_segnet.py:419-423).
+    """
+
+    structure: Sequence[int] = (3, 4, 6, 3)
+    groups: int = 64
+    classes: int = 13
+    dilation: Any = (1, 1, 2, 4)
+    base_channels: Sequence[int] = (128, 128, 256)
+    input_channels: int = 4  # early-fusion stem width (ignored for late fusion)
+    cert_branch: bool = False
+    late_fusion: bool = False
+    input_3x3: bool = True  # False → Vistas 7x7 stem (2x downsample stem)
+    norm_act: NormAct = NormAct()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        modal_1: jax.Array,
+        modal_2: Optional[jax.Array] = None,
+        train: bool = False,
+        forward_decoder: bool = True,
+    ):
+        """modal_1/modal_2 are NHWC (e.g. RGB and IR); modal_2 may be None."""
+        norm_act, dtype = self.norm_act, self.dtype
+        modal_1 = modal_1.astype(dtype)
+        if modal_2 is not None:
+            modal_2 = modal_2.astype(dtype)
+
+        def stage(name: str, mod_id: int, channels) -> _Stage:
+            return _Stage(
+                num_blocks=self.structure[mod_id],
+                channels=channels,
+                mod_id=mod_id,
+                groups=self.groups,
+                dilation=self.dilation if self.dilation != 1 else 1,
+                norm_act=norm_act,
+                dtype=dtype,
+                name=name,
+            )
+
+        ch = [list(self.base_channels)]
+        for _ in range(3):
+            ch.append([c * 2 for c in ch[-1]])
+
+        stem = InitBlock if self.input_3x3 else Stem7x7
+
+        if self.late_fusion and modal_2 is not None:
+            out_1a = stem(norm_act, dtype, name="mod1")(modal_1, train)
+            out_1b = stem(norm_act, dtype, name="mod1_2")(modal_2, train)
+            out_2a = stage("mod2_1", 0, ch[0])(out_1a, train)
+            out_2b = stage("mod2_2", 0, ch[0])(out_1b, train)
+            out_1 = jnp.concatenate([out_1a, out_1b], axis=-1)
+            out_2 = jnp.concatenate([out_2a, out_2b], axis=-1)
+        else:
+            x_in = (
+                modal_1
+                if modal_2 is None
+                else jnp.concatenate([modal_1, modal_2], axis=-1)
+            )
+            out_1 = stem(norm_act, dtype, name="mod1")(x_in, train)
+            out_2 = stage("mod2_1", 0, ch[0])(out_1, train)
+
+        out_3 = stage("mod3_1", 1, ch[1])(out_2, train)
+        out_4 = stage("mod4_1", 2, ch[2])(out_3, train)
+        seg5 = stage("mod5_1", 3, ch[3])(out_4, train)
+
+        seg_d = ABN(norm_act, dtype, name="bn_out_1")(seg5, train)
+
+        seg, fusion, seg_cf = ASPP(
+            out_channels=self.classes,
+            cert_head=True,  # params always exist; used only if cert_branch
+            norm_act=norm_act,
+            dtype=dtype,
+            name="aspp",
+        )(seg_d, train)
+
+        seg_cert = None
+        if forward_decoder:
+            seg = deconv(self.classes, 4, 2, 1, name="up_seg_2", dtype=dtype)(seg)
+            seg = FuseModule(self.classes, norm_act, dtype, name="fuse_seg")(
+                jnp.concatenate([seg, out_2], axis=-1), train
+            )
+            if self.cert_branch:
+                seg_cert = deconv(1, 4, 2, 1, name="up_seg_2_cert", dtype=dtype)(seg_cf)
+                seg_cert = FuseModule(1, norm_act, dtype, name="fuse_seg_cert")(
+                    jnp.concatenate([seg_cert, out_2], axis=-1), train
+                )
+                seg_cert = nn.sigmoid(seg_cert.astype(jnp.float32))
+            seg = seg.astype(jnp.float32)
+        else:
+            seg = None
+
+        # feature taps for the adversarial critics (trgb_segnet.py:399-400)
+        skip_down = adaptive_avg_pool(out_2, fusion.shape[1:3])
+        inter_f = [
+            seg,
+            jnp.concatenate([fusion, skip_down], axis=-1),
+            out_4,
+            out_3,
+            out_2,
+            out_1,
+        ]
+        return seg, inter_f, seg_cert
+
+
+def net_resnext50(**kw) -> ResNeXtSeg:
+    return ResNeXtSeg(structure=(3, 4, 6, 3), **kw)
+
+
+def net_resnext101(**kw) -> ResNeXtSeg:
+    return ResNeXtSeg(structure=(3, 4, 23, 3), **kw)
+
+
+def net_resnext152(**kw) -> ResNeXtSeg:
+    return ResNeXtSeg(structure=(3, 8, 36, 3), **kw)
+
+
+def tap_channels(classes: int = 13, late_fusion: bool = False) -> list:
+    """Channel counts of the 6 critic taps (conf_segnet.py:38-42)."""
+    if late_fusion:
+        return [classes, 768, 1024, 512, 512, 128]
+    return [classes, 512, 1024, 512, 256, 64]

@@ -1,0 +1,160 @@
+"""Optimizer and LR-schedule factories (optax).
+
+Reference: ``create_optimizer`` / ``poly_lr_scheduler``
+(``/root/reference/helper/utils.py:48-146``) — SGD/Adam from the JSON config
+with step/multistep/exponential/constant/linear schedules — plus the trainers'
+hardcoded choices: RMSprop + StepLR(gamma .5) for the adversarial trainer
+(train_trgb_segnet_conf.py:270-274), Adam(0.5, 0.999) for CycleGAN
+(cyclegan/train.py:141-146), poly LR for Vistas pretraining
+(scripts/main.py:232).
+
+Schedules are expressed as optax schedules over *steps*; epoch-mode schedules
+take ``steps_per_epoch`` so jitted train steps never see host LR state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import optax
+
+
+def poly_lr(init_lr: float, max_iter: int = 100, power: float = 0.9) -> Callable:
+    """``poly_lr_scheduler`` (helper/utils.py:71-84): lr·(1 - it/max)^power."""
+
+    def schedule(count):
+        frac = 1.0 - count / max_iter
+        return init_lr * (frac ** power)
+
+    return schedule
+
+
+def step_lr(init_lr: float, step_size: int, gamma: float = 0.1,
+            steps_per_epoch: int = 1) -> Callable:
+    """torch ``StepLR`` (epoch-mode): lr·gamma^(epoch // step_size)."""
+
+    def schedule(count):
+        epoch = count // steps_per_epoch
+        return init_lr * (gamma ** (epoch // step_size))
+
+    return schedule
+
+
+def multistep_lr(init_lr: float, milestones, gamma: float = 0.1,
+                 steps_per_epoch: int = 1) -> Callable:
+    milestones = sorted(milestones)
+
+    def schedule(count):
+        epoch = count // steps_per_epoch
+        k = sum(1 for m in milestones if epoch >= m)
+        return init_lr * (gamma ** k)
+
+    return schedule
+
+
+def exponential_lr(init_lr: float, gamma: float, steps_per_epoch: int = 1) -> Callable:
+    def schedule(count):
+        return init_lr * (gamma ** (count // steps_per_epoch))
+
+    return schedule
+
+
+def linear_lr(init_lr: float, alpha: float, beta: float,
+              steps_per_epoch: int = 1) -> Callable:
+    """torch 'linear' LambdaLR (helper/utils.py:139-143): lr·(it·α + β)."""
+
+    def schedule(count):
+        return init_lr * ((count // steps_per_epoch) * alpha + beta)
+
+    return schedule
+
+
+def lambda_linear_decay(n_epochs: int, offset: int, decay_start_epoch: int,
+                        init_lr: float, steps_per_epoch: int = 1) -> Callable:
+    """CycleGAN ``LambdaLR`` (utils.py:115-123): flat then linear to zero."""
+
+    def schedule(count):
+        epoch = count // steps_per_epoch
+        f = 1.0 - max(0, epoch + offset - decay_start_epoch) / (
+            n_epochs - decay_start_epoch)
+        return init_lr * f
+
+    return schedule
+
+
+def make_schedule(optimizer_config: Dict[str, Any],
+                  steps_per_epoch: int = 1) -> Callable:
+    """Schedule from the JSON ``optimizer.schedule`` section."""
+    lr = optimizer_config["learning_rate"]
+    sched = optimizer_config.get("schedule", {"type": "constant"})
+    stype = sched.get("type", "constant")
+    params = sched.get("params", {})
+    spe = steps_per_epoch if sched.get("mode", "epoch") == "epoch" else 1
+    if stype == "constant":
+        return lambda count: lr
+    if stype == "step":
+        return step_lr(lr, params["step_size"], params.get("gamma", 0.1), spe)
+    if stype == "multistep":
+        return multistep_lr(lr, params["milestones"], params.get("gamma", 0.1), spe)
+    if stype == "exponential":
+        return exponential_lr(lr, params["gamma"], spe)
+    if stype == "linear":
+        return linear_lr(lr, params["alpha"], params["beta"], spe)
+    raise KeyError(f"unrecognized schedule {stype}")
+
+
+def create_optimizer(optimizer_config: Dict[str, Any],
+                     steps_per_epoch: int = 1,
+                     schedule: Optional[Callable] = None) -> optax.GradientTransformation:
+    """Optimizer from the JSON config (helper/utils.py:86-146 semantics).
+
+    Gradient clipping (``clip`` > 0, scripts/main.py:256-257) composes in
+    front; weight decay is additive like torch's, not decoupled.
+    """
+    sched = schedule or make_schedule(optimizer_config, steps_per_epoch)
+    otype = optimizer_config.get("type", "SGD")
+    wd = optimizer_config.get("weight_decay", 0.0)
+
+    if otype == "SGD":
+        tx = optax.sgd(
+            learning_rate=sched,
+            momentum=optimizer_config.get("momentum", 0.9),
+            nesterov=optimizer_config.get("nesterov", False),
+        )
+    elif otype == "Adam":
+        tx = optax.adam(learning_rate=sched)
+    elif otype == "RMSprop":
+        # torch RMSprop defaults: alpha .99, eps 1e-8 (adversarial trainer)
+        tx = optax.rmsprop(learning_rate=sched, decay=0.99, eps=1e-8)
+    else:
+        raise KeyError(f"unrecognized optimizer {otype}")
+
+    parts = []
+    clip = optimizer_config.get("clip", 0)
+    if clip and clip > 0:
+        parts.append(optax.clip_by_global_norm(clip))
+    if wd:
+        parts.append(optax.add_decayed_weights(wd))
+    parts.append(tx)
+    return optax.chain(*parts) if len(parts) > 1 else tx
+
+
+def masked_optimizer(tx: optax.GradientTransformation,
+                     mask) -> optax.GradientTransformation:
+    """Freeze parameters outside ``mask`` — the functional replacement for
+    ``requires_grad`` phase flipping (conf_segnet.py:90-104).
+
+    ``mask`` is a pytree-of-bools (or callable) matching the params tree;
+    masked-out leaves get zero updates AND contribute no optimizer state
+    updates, so alternating phases don't perturb each other's moments.
+    """
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()},
+        (lambda params: _mask_to_labels(mask(params) if callable(mask) else mask)),
+    )
+
+
+def _mask_to_labels(mask_tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask_tree)
