@@ -1,0 +1,189 @@
+"""Validation suites: Freiburg Thermal, MFNet, BDD; plus inference dumps.
+
+Reference: ``/root/reference/models/confusion_maximization/validation_bdd_mf.py``
+— ``validate_model`` (Freiburg 320x704, :259-379), ``validate_model_mfnet``
+(480x640, preds remapped to MFNet labels, :145-257), ``validate_model_bdd``
+(BDD GT remapped to HeatNet labels, :39-143), ``inference`` (png dumps,
+:381-429). Per-class IoUs and the logged key names are bit-compatible.
+
+TPU-native changes: IoU statistics accumulate on device as three (C,)
+count vectors (ops.iou.iou_counts) instead of materializing
+``len(loader)×H×W`` host tensors; the DataParallel batch-doubling hack
+(:297-299) does not exist here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.mappings import (
+    BDD_TO_HEATNET,
+    CLASS_NAMES,
+    HEATNET_TO_MFNET,
+    mapping_to_lut,
+)
+from ..ops.iou import iou_counts, ious_from_counts
+
+# wandb key names per class (train_trgb_segnet_conf.py:611-625 /
+# validation_bdd_mf.py:363-377)
+_PER_CLASS_KEYS = [
+    "road,parking", "ground,sidewalk", "building,", "curb", "fence",
+    "pole,traffic light,traffic sign", "vegetation", "terrain", "sky",
+    "person,rider", "car,truck,bus,train", "motorcycle,bicycle",
+]
+
+
+def _pack_inputs(batch: Dict[str, Any], modalities: str):
+    ins = []
+    if "rgb" in modalities:
+        ins.append(batch["rgb"])
+    if "ir" in modalities:
+        ins.append(batch["ir"])
+    if not ins:
+        raise ValueError("No known modality selected")
+    return ins
+
+
+def _forward_factory(model, variables, modalities: str, pred_lut=None):
+    """Jitted forward → (argmax prediction, iou count triple)."""
+    lut = None if pred_lut is None else jnp.asarray(pred_lut)
+
+    @jax.jit
+    def forward(batch):
+        ins = [jnp.asarray(x) for x in _pack_inputs(batch, modalities)]
+        if len(ins) == 2:
+            seg, _, _ = model.apply(variables, ins[0], ins[1], train=False)
+        else:
+            seg, _, _ = model.apply(variables, ins[0], None, train=False)
+        pred = jnp.argmax(seg, axis=-1)
+        if lut is not None:
+            pred = lut[pred]
+        counts = iou_counts(pred, jnp.asarray(batch["label"]).astype(jnp.int32))
+        return pred, counts
+
+    return forward
+
+
+def _accumulate(forward, loader: Iterable, save_hook=None, n_classes: int = 13):
+    inter = np.zeros(n_classes, np.int64)
+    pred_cnt = np.zeros(n_classes, np.int64)
+    targ_cnt = np.zeros(n_classes, np.int64)
+    for i, batch in enumerate(loader):
+        pred, (bi, bp, bt) = forward(batch)
+        inter += np.asarray(bi, np.int64)
+        pred_cnt += np.asarray(bp, np.int64)
+        targ_cnt += np.asarray(bt, np.int64)
+        if save_hook is not None:
+            save_hook(i, np.asarray(pred), batch)
+    return ious_from_counts(inter, pred_cnt, targ_cnt)
+
+
+def _save_hook(save_dir: str):
+    if not save_dir:
+        return None
+    os.makedirs(save_dir, exist_ok=True)
+    from ..utils.vis import color_code_labels, save_image, vis_depth
+
+    def hook(i, pred, batch):
+        save_image(os.path.join(save_dir, f"pred_{i}.png"),
+                   color_code_labels(pred[0]))
+        if "rgb_org" in batch:
+            save_image(os.path.join(save_dir, f"rgb_{i}.png"),
+                       np.asarray(batch["rgb_org"])[0])
+        if "ir_org" in batch:
+            save_image(os.path.join(save_dir, f"ir_{i}.png"),
+                       vis_depth(np.asarray(batch["ir_org"])[0]))
+        if "label" in batch:
+            save_image(os.path.join(save_dir, f"gt_{i}.png"),
+                       color_code_labels(np.asarray(batch["label"])[0]))
+
+    return hook
+
+
+def validate_model(model, variables, loader, modalities: str,
+                   mode: str = "day", logger=None, save_dir: str = "") -> np.ndarray:
+    """Freiburg Thermal validation (validation_bdd_mf.py:259-379).
+
+    Returns the 12-entry per-class IoU vector (classes 12/13 skipped).
+    """
+    forward = _forward_factory(model, variables, modalities)
+    ious = _accumulate(forward, loader, _save_hook(save_dir))
+    if logger is not None:
+        logs = {f"{mode}_Test mean IoU": float(np.nanmean(ious))}
+        for k, name in enumerate(_PER_CLASS_KEYS):
+            logs[f"{mode}_Test IoU {name}"] = float(ious[k])
+        logger.log(logs)
+    return ious
+
+
+def validate_model_mfnet(model, variables, loader, modalities: str,
+                         mode: str = "day", logger=None,
+                         save_dir: str = "") -> np.ndarray:
+    """MFNet validation: HeatNet preds → MFNet label space, then IoU
+    (validation_bdd_mf.py:145-257; unmapped predictions become class 0)."""
+    lut = mapping_to_lut(HEATNET_TO_MFNET, num_src=14, default=0)
+    forward = _forward_factory(model, variables, modalities, pred_lut=lut)
+    ious = _accumulate(forward, loader, _save_hook(save_dir))
+    if logger is not None:
+        logger.log({
+            f"{mode}_MFNET_Test mean IoU": float(np.nanmean(ious)),
+            f"{mode}_MFNET_Test IoU curb": float(ious[4]),
+            f"{mode}_MFNET_Test IoU person,rider": float(ious[2]),
+            f"{mode}_MFNET_Test IoU car,truck,bus,train": float(ious[1]),
+            f"{mode}_MFNET_Test IoU bicycle": float(ious[3]),
+        })
+    return ious
+
+
+def validate_model_bdd(model, variables, loader, logger=None,
+                       save_dir: str = "") -> np.ndarray:
+    """BDD night validation: BDD GT ids → HeatNet labels, RGB-only model
+    input (validation_bdd_mf.py:39-143)."""
+    gt_lut = mapping_to_lut(BDD_TO_HEATNET, num_src=256, default=13)
+
+    base = _forward_factory(model, variables, "rgb")
+
+    def forward(batch):
+        batch = dict(batch)
+        batch["label"] = gt_lut[np.asarray(batch["label"]).astype(np.int64)]
+        return base(batch)
+
+    ious = _accumulate(forward, loader, _save_hook(save_dir))
+    if logger is not None:
+        logs = {"BDD_Test mean IoU": float(np.nanmean(ious))}
+        for k, name in enumerate(_PER_CLASS_KEYS):
+            logs[f"BDD_Test IoU {name}"] = float(ious[k])
+        logger.log(logs)
+    return ious
+
+
+def inference(model, variables, loader, modalities: str,
+              save_dir: str = "") -> int:
+    """Label-free inference with png dumps (validation_bdd_mf.py:381-429)."""
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+    from ..utils.vis import color_code_labels, save_image
+
+    @jax.jit
+    def forward(batch):
+        ins = [jnp.asarray(x) for x in _pack_inputs(batch, modalities)]
+        seg, _, _ = model.apply(variables, ins[0],
+                                ins[1] if len(ins) == 2 else None, train=False)
+        return jnp.argmax(seg, axis=-1)
+
+    n = 0
+    for i, batch in enumerate(loader):
+        pred = np.asarray(forward(batch))
+        if save_dir:
+            save_image(os.path.join(save_dir, f"pred_{i}.png"),
+                       color_code_labels(pred[0]))
+            if "rgb_org" in batch:
+                save_image(os.path.join(save_dir, f"rgb_{i}.png"),
+                           np.asarray(batch["rgb_org"])[0])
+        n += 1
+    return n

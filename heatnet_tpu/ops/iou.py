@@ -79,3 +79,38 @@ def calculate_ious_device(
     ).astype(jnp.float32) - inter
 
     return jnp.where(union > 0, inter / jnp.maximum(union, 1.0), jnp.nan)
+
+
+def iou_counts(pred: jax.Array, target: jax.Array, n_classes: int = 13,
+               ignore_class: int = 13) -> tuple:
+    """Per-class (intersection, pred-count, target-count) sums on device.
+
+    Accumulating these three (C,) vectors across an eval set and computing
+    ``inter / (pred + target - inter)`` at the end reproduces
+    ``calculate_ious`` over the concatenated tensors (utils.py:134-163)
+    without materializing every frame on host (the reference preallocates
+    len(loader)×H×W tensors — valid for 100 frames, not for production eval).
+    """
+    pred = pred.reshape(-1)
+    target = target.reshape(-1)
+    valid = target != ignore_class
+    cls = jnp.arange(n_classes)[:, None]
+    pred_eq = pred[None, :] == cls
+    targ_eq = target[None, :] == cls
+    inter = jnp.sum(pred_eq & targ_eq, axis=1)
+    pred_cnt = jnp.sum(pred_eq & valid[None, :], axis=1)
+    targ_cnt = jnp.sum(targ_eq & valid[None, :], axis=1)
+    return inter, pred_cnt, targ_cnt
+
+
+def ious_from_counts(inter, pred_cnt, targ_cnt,
+                     skip=(12, 13)) -> "jnp.ndarray":
+    """Final per-class IoU vector (NaN where absent), skipping given classes."""
+    import numpy as np
+
+    inter = np.asarray(inter, np.float64)
+    union = np.asarray(pred_cnt, np.float64) + np.asarray(targ_cnt, np.float64) - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(union > 0, inter / np.maximum(union, 1), np.nan)
+    keep = [c for c in range(len(iou)) if c not in skip]
+    return iou[keep]

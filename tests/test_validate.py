@@ -1,0 +1,110 @@
+"""Validator tests on synthetic loaders (no dataset on disk needed)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from heatnet_tpu.eval.validate import (
+    inference, validate_model, validate_model_bdd, validate_model_mfnet,
+)
+from heatnet_tpu.eval.metrics import calculate_ious
+from heatnet_tpu.io.logging import RunLogger
+from heatnet_tpu.models import ResNeXtSeg
+from heatnet_tpu.train.state import init_model
+
+TINY = (1, 1, 1, 1)
+H, W = 64, 64
+
+
+def _model_and_vars(in_ch=4):
+    model = ResNeXtSeg(structure=TINY, input_channels=in_ch)
+    rgb = jnp.zeros((1, H, W, 3))
+    ir = jnp.zeros((1, H, W, 1)) if in_ch == 4 else None
+    params, bs = init_model(model, jax.random.PRNGKey(0), rgb, ir)
+    variables = {"params": params}
+    if bs is not None:
+        variables["batch_stats"] = bs
+    return model, variables
+
+
+def _loader(n=3, with_ir=True, label_max=13):
+    rng = np.random.RandomState(0)
+    for _ in range(n):
+        batch = {
+            "rgb": rng.rand(1, H, W, 3).astype(np.float32),
+            "label": rng.randint(0, label_max, (1, H, W)).astype(np.int32),
+            "rgb_org": rng.rand(1, H, W, 3).astype(np.float32),
+            "ir_org": rng.rand(1, H, W).astype(np.float32),
+        }
+        if with_ir:
+            batch["ir"] = rng.rand(1, H, W, 1).astype(np.float32)
+        yield batch
+
+
+def test_validate_model_matches_host_reference(tmp_path):
+    model, variables = _model_and_vars()
+    logger = RunLogger("test", log_dir=str(tmp_path))
+
+    # host-side reference: accumulate all preds/gts then calculate_ious
+    preds, gts = [], []
+
+    @jax.jit
+    def fwd(rgb, ir):
+        seg, _, _ = model.apply(variables, rgb, ir, train=False)
+        return jnp.argmax(seg, axis=-1)
+
+    for batch in _loader():
+        preds.append(np.asarray(fwd(batch["rgb"], batch["ir"])))
+        gts.append(batch["label"])
+    ref = calculate_ious(np.concatenate(preds), np.concatenate(gts))
+
+    ious = validate_model(model, variables, _loader(), "ir_rgb",
+                          mode="night", logger=logger)
+    np.testing.assert_allclose(ious, ref, rtol=1e-9, equal_nan=True)
+    logger.finish()
+    import json
+    rec = [json.loads(l) for l in open(logger.path)]
+    keys = [k for r in rec for k in r]
+    assert "night_Test mean IoU" in keys
+    assert "night_Test IoU car,truck,bus,train" in keys
+
+
+def test_validate_model_save_dir(tmp_path):
+    model, variables = _model_and_vars()
+    save = tmp_path / "imgs"
+    validate_model(model, variables, _loader(n=2), "ir_rgb", save_dir=str(save))
+    names = sorted(p.name for p in save.iterdir())
+    assert "pred_0.png" in names and "rgb_1.png" in names and "gt_0.png" in names
+
+
+def test_validate_mfnet_label_space():
+    model, variables = _model_and_vars()
+    ious = validate_model_mfnet(model, variables, _loader(label_max=9), "ir_rgb")
+    # predictions live in MFNet space {0,1,2,3,4}; classes 5..8 can have no
+    # predicted pixels but may appear in GT → iou 0 or nan, never > 0 unless hit
+    assert len(ious) == 12
+
+
+def test_validate_bdd_remaps_gt():
+    model, variables = _model_and_vars(in_ch=3)
+    loader = list(_loader(with_ir=False, label_max=19))
+    ious = validate_model_bdd(model, variables, loader)
+    assert len(ious) == 12
+
+
+def test_inference_dumps(tmp_path):
+    model, variables = _model_and_vars()
+    n = inference(model, variables, _loader(n=2), "ir_rgb", str(tmp_path / "d"))
+    assert n == 2
+    assert (tmp_path / "d" / "pred_1.png").exists()
+
+
+def test_vis_helpers():
+    from heatnet_tpu.utils.vis import color_code_labels, draw_critic_labels, vis_depth
+    lbl = np.random.RandomState(0).randint(0, 14, (8, 8))
+    rgb = color_code_labels(lbl)
+    assert rgb.shape == (8, 8, 3) and rgb.max() <= 1.0
+    d = vis_depth(np.random.RandomState(0).rand(8, 8))
+    assert d.shape == (8, 8, 3)
+    img = draw_critic_labels(np.zeros((40, 40, 3)), [True, False])
+    assert img.max() == 1.0  # dots drawn
