@@ -1,0 +1,98 @@
+"""Single-frame inference CLI with forward-pass timing.
+
+Reference: ``/root/reference/scripts/inference.py:91-143`` — loads a trained
+``net_*`` model, runs one frame, prints the synchronized forward time (the
+reference file is broken — ``models.__dict__['net_*']`` against an empty
+``models/__init__.py``; rebuilt working here). Extended to RGB+thermal
+directory inference (config #1/#2 of BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="HeatNet-TPU inference")
+    p.add_argument("--arch", "-a", default="resnext50")
+    p.add_argument("--resume", default="", type=str, help="checkpoint to load")
+    p.add_argument("--data", required=True,
+                   help="inference dir (fl_rgb/ + fl_ir_aligned/)")
+    p.add_argument("--modalities", default="ir_rgb")
+    p.add_argument("--im-save-dir", default="", type=str)
+    p.add_argument("--iters", default=10, type=int, help="timing iterations")
+    p.add_argument("--classes", default=13, type=int)
+    p.add_argument("--structure", nargs=4, type=int, default=[3, 4, 6, 3])
+    return p
+
+
+def main(argv=None) -> float:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.cache import enable_compilation_cache
+    from ..data.loaders import FreiburgInferDataset
+    from ..eval.validate import inference
+    from ..io.checkpoint import load_checkpoint, restore_partial
+    from ..models import get_model
+    from ..train.state import init_model
+
+    enable_compilation_cache()
+
+    n_in = (3 if "rgb" in args.modalities else 0) + (1 if "ir" in args.modalities else 0)
+    model = get_model("net_" + args.arch, classes=args.classes,
+                      input_channels=n_in, dtype=jnp.bfloat16)
+    if tuple(args.structure) != (3, 4, 6, 3):
+        from ..models import ResNeXtSeg
+        model = ResNeXtSeg(structure=tuple(args.structure),
+                           classes=args.classes, input_channels=n_in,
+                           dtype=jnp.bfloat16)
+
+    ds = FreiburgInferDataset(args.data)
+    if len(ds) == 0:
+        raise FileNotFoundError(f"no frames under {args.data}")
+    first = ds[0]
+
+    rgb = jnp.asarray(first["rgb"])
+    ir = jnp.asarray(first["ir"])
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), rgb, ir)
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    if args.resume:
+        saved = load_checkpoint(args.resume)
+        sd = saved.get("state_dict", saved)
+        variables["params"] = restore_partial(variables["params"], sd["params"])
+        if batch_stats is not None and "batch_stats" in sd:
+            variables["batch_stats"] = restore_partial(variables["batch_stats"],
+                                                       sd["batch_stats"])
+
+    @jax.jit
+    def forward(rgb, ir):
+        seg, _, _ = model.apply(variables, rgb, ir, train=False)
+        return jnp.argmax(seg, axis=-1)
+
+    forward(rgb, ir).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        pred = forward(rgb, ir)
+    pred.block_until_ready()
+    dt = (time.perf_counter() - t0) / args.iters
+    print("Network took %f seconds" % dt)
+
+    def loader():
+        for i in range(len(ds)):
+            yield ds[i]
+
+    n = inference(model, variables, loader(), args.modalities,
+                  save_dir=args.im_save_dir)
+    print(f"Ran inference on {n} frames")
+    return dt
+
+
+if __name__ == "__main__":
+    main()

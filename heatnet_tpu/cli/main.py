@@ -1,0 +1,205 @@
+"""Vistas pretraining CLI — flag-compatible rebuild of ``scripts/main.py``.
+
+Reference: ``/root/reference/scripts/main.py`` — flags (:72-89), config load
+(:110), model build (:111-113), Adam (:159), poly LR per step (:232), grad
+clip (:256-257), CE ignore 13 (:223), ``IoU(14, False, [12, 13])`` validation
+(:275-318), checkpoint every 2 epochs (:202-211), wandb logging.
+
+TPU-native: one jitted train step over the device mesh (batch sharded over
+``data``); the ``--world-size/--dist-url/--dist-backend`` gloo flags are
+accepted for CLI parity but multi-host setup is automatic
+(``jax.distributed``). ``--gpus``-style device selection maps to mesh size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="HeatNet-TPU Vistas pretraining")
+    parser.add_argument("--data", metavar="DIR", required=True,
+                        help="path to (relabelled) training dataset")
+    parser.add_argument("--valdata", metavar="DIR", required=True,
+                        help="path to validation dataset")
+    parser.add_argument("--arch", "-a", metavar="ARCH", default="resnext50")
+    parser.add_argument("-j", "--workers", default=4, type=int,
+                        metavar="N", help="number of data loading workers")
+    parser.add_argument("--print-freq", "-p", default=10, type=int, metavar="N")
+    parser.add_argument("--resume", default="", type=str, metavar="PATH")
+    parser.add_argument("-e", "--evaluate", dest="evaluate", action="store_true")
+    parser.add_argument("--world-size", default=1, type=int,
+                        help="accepted for parity; multi-host is automatic")
+    parser.add_argument("--dist-url", default="tcp://localhost:23456", type=str)
+    parser.add_argument("--dist-backend", default="gloo", type=str)
+    parser.add_argument("--config", default=None, type=str,
+                        help="experiment json (default experiments/heatnet_conf.json)")
+    # additive knobs (reference hardcodes 768x384 / epochs from config)
+    parser.add_argument("--width", default=768, type=int)
+    parser.add_argument("--height", default=384, type=int)
+    parser.add_argument("--epochs", default=None, type=int)
+    parser.add_argument("--batch-size", default=None, type=int)
+    parser.add_argument("--checkpoint-dir", default="checkpoints", type=str)
+    parser.add_argument("--log-dir", default="runs", type=str)
+    parser.add_argument("--max-steps-per-epoch", default=None, type=int,
+                        help="debug/smoke cap")
+    parser.add_argument("--structure", nargs=4, type=int, default=None,
+                        help="override backbone block counts (debug/smoke)")
+    return parser
+
+
+def main(argv=None) -> float:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..core.cache import enable_compilation_cache
+    from ..data.loaders import VistasDataset, batch_iterator
+    from ..eval.iou_eval import IoU
+    from ..io.checkpoint import (best_iou_tracker, load_checkpoint,
+                                 restore_partial, save_checkpoint)
+    from ..io.logging import AverageMeter, RunLogger
+    from ..models import NormAct, get_model
+    from ..ops.iou import confusion_matrix
+    from ..parallel.mesh import mesh_for_batch, maybe_initialize_distributed, shard_batch, replicate
+    from ..train.optim import poly_lr
+    from ..train.state import TrainState, init_model
+    from ..train.supervised import make_eval_step, make_train_step
+    from ..utils.config import load_config
+
+    enable_compilation_cache()
+    maybe_initialize_distributed()
+
+    logger = RunLogger("segnet", log_dir=args.log_dir)
+    logger.update_config(args)
+
+    config_path = args.config or os.path.join(
+        os.path.dirname(__file__), "../../experiments/heatnet_conf.json")
+    conf = load_config(config_path)
+    net_conf, opt_conf = conf["network"], conf["optimizer"]
+
+    norm_act = NormAct(
+        activation=net_conf["activation"],
+        leaky_slope=net_conf.get("leaky_relu_slope", 0.01),
+    )
+    dtype = jnp.bfloat16 if conf["tpu"]["compute_dtype"] == "bfloat16" else jnp.float32
+    model_kw = dict(
+        classes=net_conf["classes"],
+        dilation=tuple(net_conf["dilation"]),
+        input_channels=3,
+        input_3x3=net_conf.get("input_3x3", True),
+        norm_act=norm_act,
+        dtype=dtype,
+    )
+    if args.structure:
+        from ..models import ResNeXtSeg
+        model = ResNeXtSeg(structure=tuple(args.structure), **model_kw)
+    else:
+        model = get_model("net_" + args.arch, **model_kw)
+
+    batch_size = args.batch_size or opt_conf["batch_size"]
+    epochs = args.epochs or opt_conf["schedule"]["epochs"]
+    base_lr = opt_conf["learning_rate"]
+    clip = opt_conf.get("clip", 0)
+
+    train_ds = VistasDataset(args.data, width=args.width, height=args.height)
+    val_ds = VistasDataset(args.valdata, width=args.width, height=args.height,
+                           augment_data=False)
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    if args.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+    total_steps = steps_per_epoch * epochs
+
+    mesh = mesh_for_batch(batch_size)
+    example = jnp.zeros((1, args.height, args.width, 3))
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), example,
+                                     None, init_kwargs={"train": True})
+
+    # Adam + per-iteration poly decay (scripts/main.py:159,232) + clip
+    tx_parts = []
+    if clip and clip > 0:
+        tx_parts.append(optax.clip_by_global_norm(clip))
+    tx_parts.append(optax.adam(poly_lr(base_lr, max_iter=total_steps)))
+    tx = optax.chain(*tx_parts) if len(tx_parts) > 1 else tx_parts[0]
+
+    state = TrainState.create(model.apply, params, batch_stats, tx)
+
+    start_epoch = 0
+    track_best = best_iou_tracker()
+    if args.resume:
+        saved = load_checkpoint(args.resume)
+        state = state.replace(
+            params=restore_partial(state.params, saved["state_dict"]["params"]),
+            batch_stats=restore_partial(state.batch_stats,
+                                        saved["state_dict"]["batch_stats"]),
+        )
+        start_epoch = int(saved.get("epoch", 0))
+        track_best.state["best"] = float(saved.get("best_iou", 0.0))
+        print(f"=> resumed from {args.resume} (epoch {start_epoch})")
+
+    state = replicate(mesh, state)
+    train_step = make_train_step(model)
+    eval_step = make_eval_step(model, num_classes=14)
+
+    def validate() -> float:
+        metric = IoU(14, False, [12, 13])
+        for batch in batch_iterator(val_ds, batch_size=1, shuffle=False,
+                                    drop_last=False):
+            conf_mat = eval_step(state, {"image": jnp.asarray(batch["image"]),
+                                         "label": jnp.asarray(batch["label"])})
+            metric.add_confusion(np.asarray(conf_mat))
+        iou, miou = metric.value()
+        print(f" * mIoU {miou:.4f}")
+        logger.log({"val_mIoU": miou,
+                    **{f"val_IoU_{i}": float(v) for i, v in enumerate(iou)}})
+        return miou
+
+    if args.evaluate:
+        return validate()
+
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    for epoch in range(start_epoch, epochs):
+        batch_time, data_time, losses = AverageMeter(), AverageMeter(), AverageMeter()
+        end = time.time()
+        for i, batch in enumerate(batch_iterator(
+                train_ds, batch_size, shuffle=True, seed=epoch)):
+            if i >= steps_per_epoch:
+                break
+            data_time.update(time.time() - end)
+            sharded = shard_batch(mesh, {"image": batch["image"],
+                                         "label": batch["label"]})
+            state, metrics = train_step(state, sharded)
+            losses.update(float(metrics["loss"]), batch["image"].shape[0])
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if i % args.print_freq == 0:
+                print(f"Epoch: [{epoch}][{i}/{steps_per_epoch}]\t"
+                      f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                      f"Data {data_time.val:.3f} ({data_time.avg:.3f})\t"
+                      f"Loss {losses.val:.4f} ({losses.avg:.4f})")
+                logger.log({"epoch": epoch, "loss": losses.avg,
+                            "batch_time": batch_time.avg})
+
+        miou = validate()
+        if epoch % 2 == 0:
+            is_best = track_best(miou)
+            host_state = jax.device_get(
+                {"params": state.params, "batch_stats": state.batch_stats})
+            save_checkpoint(
+                {"epoch": epoch + 1, "arch": args.arch,
+                 "state_dict": host_state,
+                 "best_iou": track_best.state["best"]},
+                os.path.join(args.checkpoint_dir, "checkpoint"),
+                is_best=is_best, logger=logger)
+    logger.finish()
+    return track_best.state["best"]
+
+
+if __name__ == "__main__":
+    main()

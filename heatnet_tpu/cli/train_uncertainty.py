@@ -1,0 +1,119 @@
+"""IR uncertainty pretrainer CLI — ``train_ir_uncertainty.py`` surface.
+
+Reference flags/structure: encoders [2,2,2,2] on 1-channel IR, seg(12) +
+sigmoid uncertainty decoders, Adam(0.5, 0.999) + CycleGAN LambdaLR, inputs
+subsampled 4x (train_ir_uncertainty.py:101-226).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument('--epoch', type=int, default=0)
+    p.add_argument('--n_epochs', type=int, default=100)
+    p.add_argument('--dataroot', type=str, required=True)
+    p.add_argument('--lr', type=float, default=0.0001)
+    p.add_argument('--decay_epoch', type=int, default=50)
+    p.add_argument('--batch_size', type=int, default=4)
+    p.add_argument('--cuda', action='store_true', help='parity no-op')
+    p.add_argument('--n_cpu', type=int, default=8)
+    # additive smoke/debug knobs
+    p.add_argument('--structure', nargs=4, type=int, default=[2, 2, 2, 2])
+    p.add_argument('--max_iters_per_epoch', type=int, default=None)
+    p.add_argument('--checkpointname', type=str, default='ir_uncertainty')
+    p.add_argument('--log_dir', type=str, default='runs')
+    return p
+
+
+def main(argv=None) -> float:
+    opt = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..core.cache import enable_compilation_cache
+    from ..data.loaders import DeviceAugment, FreiburgThermalDataset, batch_iterator
+    from ..io.checkpoint import save_checkpoint
+    from ..io.logging import AverageMeter, RunLogger
+    from ..models.segnetsplit import ResNeXtDecoder, ResNeXtEncoder
+    from ..train.optim import lambda_linear_decay
+    from ..train.uncertainty import UncertaintyState, make_uncertainty_step
+
+    enable_compilation_cache()
+    logger = RunLogger("hotnet-uncertainty", log_dir=opt.log_dir)
+    logger.update_config(opt)
+
+    structure = tuple(opt.structure)
+    enc1 = ResNeXtEncoder(structure=structure, in_channels=1, classes=12)
+    enc2 = ResNeXtEncoder(structure=structure, in_channels=1, classes=1)
+    seg_dec = ResNeXtDecoder(out_classes=12)
+    unc_dec = ResNeXtDecoder(out_classes=1, last_activation="sigmoid")
+
+    ds = FreiburgThermalDataset(opt.dataroot, split="train")
+    augment = DeviceAugment(crop_hw=(320, 640))
+
+    # subsample 4x like the reference (:168-170) → 80x160 IR inputs
+    sub_h, sub_w = 320 // 4, 640 // 4
+    dummy = jnp.zeros((1, sub_h, sub_w, 1))
+
+    key = jax.random.PRNGKey(0)
+    params, stats = {}, {}
+
+    def init_mod(name, mod, *args):
+        v = jax.jit(lambda k, *a: mod.init({"params": k}, *a, train=True))(key, *args)
+        params[name] = v["params"]
+        stats[name] = v.get("batch_stats")
+
+    init_mod("encoder1", enc1, dummy)
+    init_mod("encoder2", enc2, dummy)
+    enc_out, out4 = jax.eval_shape(
+        lambda p, s, x: enc1.apply({"params": p, "batch_stats": s}, x),
+        params["encoder1"], stats["encoder1"], dummy)
+    init_mod("seg_decoder", seg_dec,
+             jnp.zeros(enc_out.shape), jnp.zeros(out4.shape))
+    init_mod("unc_decoder", unc_dec,
+             jnp.zeros((*enc_out.shape[:3], 1)), jnp.zeros(out4.shape))
+
+    steps_per_epoch = max(len(ds) // opt.batch_size, 1)
+    if opt.max_iters_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, opt.max_iters_per_epoch)
+    sched = lambda_linear_decay(opt.n_epochs, opt.epoch, opt.decay_epoch,
+                                opt.lr, steps_per_epoch)
+    state = UncertaintyState.create(params, stats,
+                                    optax.adam(sched, b1=0.5, b2=0.999))
+    step = make_uncertainty_step(enc1, enc2, seg_dec, unc_dec)
+
+    seg_meter, unc_meter = AverageMeter(), AverageMeter()
+    rng = jax.random.PRNGKey(7)
+    last = 0.0
+    for epoch in range(opt.epoch, opt.n_epochs):
+        for i, raw in enumerate(batch_iterator(ds, opt.batch_size, seed=epoch)):
+            if opt.max_iters_per_epoch and i >= opt.max_iters_per_epoch:
+                break
+            rng, k = jax.random.split(rng)
+            aug = augment(k, raw)
+            batch = {"ir": aug["ir_day"][:, ::4, ::4, :],
+                     "label": aug["label_day"][:, ::4, ::4]}
+            state, metrics = step(state, batch)
+            seg_meter.update(float(metrics["Segmentation Loss"]))
+            unc_meter.update(float(metrics["Uncertainty Loss"]))
+            last = seg_meter.avg
+            print("Segmentation loss: %f , Uncertainty Loss: %f"
+                  % (seg_meter.avg, unc_meter.avg))
+            logger.log({"epoch": epoch, "Uncertainty Loss": unc_meter.avg,
+                        "Segmentation Loss": seg_meter.avg})
+        host = jax.device_get({"params": state.params,
+                               "batch_stats": state.batch_stats})
+        save_checkpoint({"epoch": epoch + 1, "state_dict": host},
+                        opt.checkpointname)
+    logger.finish()
+    return last
+
+
+if __name__ == "__main__":
+    main()

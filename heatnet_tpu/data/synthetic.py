@@ -1,0 +1,170 @@
+"""Synthetic tiny datasets in the reference on-disk layouts.
+
+Used by the test suite and CLI smoke runs (the reference datasets are not
+distributable). Layouts follow thermal_loader.py / vistas_dataset.py /
+getPaths exactly, so the loaders' glob logic is exercised for real.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+def _write_png(path: str, arr: np.ndarray) -> None:
+    import cv2
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, arr)
+
+
+def make_freiburg_train(root: str, n_day: int = 4, n_night: int = 3,
+                        hw: Tuple[int, int] = (64, 192), seed: int = 0) -> str:
+    """db_path/*/*/fl_{rgb,ir_aligned,rgb_labels}/*.png tree."""
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    # sibling paths derive via full-path replace('fl_ir_aligned', 'fl_rgb'),
+    # so directory AND filename prefix must both follow the convention
+    for i in range(n_day):
+        base = os.path.join(root, "seq00_day", "drive0")
+        stamp = f"{1500000000 + i}_{i * 1000:09d}.png"
+        _write_png(os.path.join(base, "fl_ir_aligned", "fl_ir_aligned_" + stamp),
+                   rng.randint(21000, 26000, (h, w)).astype(np.uint16))
+        _write_png(os.path.join(base, "fl_rgb", "fl_rgb_" + stamp),
+                   rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+        _write_png(os.path.join(base, "fl_rgb_labels", "fl_rgb_labels_" + stamp),
+                   rng.randint(0, 13, (h, w)).astype(np.uint8))
+    for i in range(n_night):
+        base = os.path.join(root, "seq01_night", "drive0")
+        stamp = f"{1600000000 + i}_{i * 1000:09d}.png"
+        _write_png(os.path.join(base, "fl_ir_aligned", "fl_ir_aligned_" + stamp),
+                   rng.randint(21000, 26000, (h, w)).astype(np.uint16))
+        _write_png(os.path.join(base, "fl_rgb", "fl_rgb_" + stamp),
+                   rng.randint(0, 40, (h, w, 3)).astype(np.uint8))
+    return root
+
+
+def make_freiburg_test(root: str, n: int = 2,
+                       hw: Tuple[int, int] = (64, 192), seed: int = 1) -> str:
+    """ImagesIR/ImagesRGB/SegmentationClass layout (getPaths)."""
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    os.makedirs(os.path.join(root, "SegmentationClass"), exist_ok=True)
+    for i in range(n):
+        stamp = f"{1700000000 + i}_{i * 100:09d}"
+        _write_png(os.path.join(root, "ImagesIR", f"{stamp}_ir.png"),
+                   rng.randint(21000, 26000, (h, w)).astype(np.uint16))
+        _write_png(os.path.join(root, "ImagesRGB", f"{stamp}_rgb.png"),
+                   rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+        np.save(os.path.join(root, "SegmentationClass", f"{stamp}.npy"),
+                rng.randint(0, 13, (h, w)).astype(np.uint8))
+    return root
+
+
+def make_freiburg_infer(root: str, n: int = 2,
+                        hw: Tuple[int, int] = (64, 192), seed: int = 2) -> str:
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    for i in range(n):
+        stamp = f"{1800000000 + i}_{i * 1000:09d}.png"
+        _write_png(os.path.join(root, "fl_ir_aligned", "fl_ir_aligned_" + stamp),
+                   rng.randint(21000, 26000, (h, w)).astype(np.uint16))
+        _write_png(os.path.join(root, "fl_rgb", "fl_rgb_" + stamp),
+                   rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+    return root
+
+
+def make_mfnet(root: str, n_train: int = 4, n_test: int = 2,
+               hw: Tuple[int, int] = (48, 64), seed: int = 3) -> str:
+    """MFNet layout: 4-channel images/, labels/, labels_from_rgbteacher/,
+    train.txt / test_day.txt / test_night.txt / test.txt."""
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    names_train, names_day, names_night = [], [], []
+    for i in range(n_train):
+        suffix = "D" if i % 2 == 0 else "N"
+        name = f"{i:05d}{suffix}"
+        img = rng.randint(0, 255, (h, w, 4)).astype(np.uint8)
+        _write_png(os.path.join(root, "images", name + ".png"), img)
+        _write_png(os.path.join(root, "labels", name + ".png"),
+                   rng.randint(0, 9, (h, w)).astype(np.uint8))
+        _write_png(os.path.join(root, "labels_from_rgbteacher", name + ".png"),
+                   rng.randint(0, 13, (h, w)).astype(np.uint8))
+        names_train.append(name)
+    for i in range(n_test):
+        for suffix, bucket in (("D", names_day), ("N", names_night)):
+            name = f"9{i:04d}{suffix}"
+            _write_png(os.path.join(root, "images", name + ".png"),
+                       rng.randint(0, 255, (h, w, 4)).astype(np.uint8))
+            _write_png(os.path.join(root, "labels", name + ".png"),
+                       rng.randint(0, 9, (h, w)).astype(np.uint8))
+            bucket.append(name)
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        f.write("\n".join(names_train))
+    with open(os.path.join(root, "test_day.txt"), "w") as f:
+        f.write("\n".join(names_day))
+    with open(os.path.join(root, "test_night.txt"), "w") as f:
+        f.write("\n".join(names_night))
+    with open(os.path.join(root, "test.txt"), "w") as f:
+        f.write("\n".join(names_day + names_night))
+    return root
+
+
+def make_bdd(root: str, n: int = 2, hw: Tuple[int, int] = (48, 96),
+             seed: int = 4) -> str:
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    names = []
+    for i in range(n):
+        name = f"bdd{i:04d}"
+        _write_png(os.path.join(root, "images", "val", name + ".jpg"),
+                   rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+        lbl = rng.randint(0, 19, (h, w)).astype(np.uint8)
+        lbl[0, 0] = 255
+        _write_png(os.path.join(root, "labels", "val", name + "_train_id.png"), lbl)
+        names.append(name)
+    with open(os.path.join(root, "bdd_night.txt"), "w") as f:
+        f.write("\n".join(names))
+    return root
+
+
+def make_vistas(root: str, n: int = 3, hw: Tuple[int, int] = (48, 96),
+                seed: int = 5) -> str:
+    """Relabelled-Vistas layout consumed by VistasDataset: images/ + labels/
+    (uint16 class*256+instance pngs) + paths.txt."""
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    names = []
+    for i in range(n):
+        name = f"v{i:05d}"
+        _write_png(os.path.join(root, "images", name + ".png"),
+                   rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+        cls = rng.randint(0, 14, (h, w)).astype(np.uint16)
+        _write_png(os.path.join(root, "labels", name + ".png"),
+                   (cls * 256).astype(np.uint16))
+        names.append(name)
+    with open(os.path.join(root, "paths.txt"), "w") as f:
+        f.write("\n".join(names))
+    return root
+
+
+def make_kaist(root: str, n_day: int = 3, n_night: int = 3,
+               hw: Tuple[int, int] = (64, 80), seed: int = 6) -> str:
+    """KAIST layout for the CycleGAN loader (Day/set00..., Night/set04...)."""
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    for i in range(n_day):
+        base = os.path.join(root, "Day", "set00", "V000")
+        _write_png(os.path.join(base, "lwir", f"I{i:05d}.jpg"),
+                   rng.randint(0, 255, (h, w)).astype(np.uint8))
+        _write_png(os.path.join(base, "visible", f"I{i:05d}.jpg"),
+                   rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+        _write_png(os.path.join(base, "labels", f"I{i:05d}.png"),
+                   rng.randint(0, 12, (h, w)).astype(np.uint8))
+    for i in range(n_night):
+        base = os.path.join(root, "Night", "set04", "V000")
+        _write_png(os.path.join(base, "lwir", f"I{i:05d}.jpg"),
+                   rng.randint(0, 100, (h, w)).astype(np.uint8))
+    return root

@@ -351,3 +351,36 @@ def train_sample_preprocess(
         "ir_night": normalize(ir_night, (0.5,), (0.5,)),
         "mod_drop_params": mod_drop_params,
     }
+
+
+def mf_train_sample_preprocess(
+    key: jax.Array,
+    rgb_day, ir_day, label_day, rgb_night, ir_night,
+    crop_hw: Tuple[int, int] = (384, 384),
+):
+    """MFNet train chain (MFDatasetTrain.__getitem__, thermal_loader.py:322-440):
+    shared random crop 384x384, independent day/night hflips and ±20°
+    rotations, /255 + (x-.5)/.5 normalization (8-bit IR, no radiometric clamp).
+    """
+    keys = jax.random.split(key, 5)
+
+    i, j = random_crop_params(keys[0], rgb_day.shape[:2], crop_hw)
+    rgb_day = crop_at(rgb_day, i, j, crop_hw).astype(jnp.float32) / 255.0
+    ir_day = crop_at(ir_day, i, j, crop_hw).astype(jnp.float32) / 255.0
+    label_day = crop_at(label_day, i, j, crop_hw)
+    rgb_night = crop_at(rgb_night, i, j, crop_hw).astype(jnp.float32) / 255.0
+    ir_night = crop_at(ir_night, i, j, crop_hw).astype(jnp.float32) / 255.0
+
+    rgb_day, ir_day, label_day = maybe_hflip(keys[1], rgb_day, ir_day, label_day)
+    rgb_night, ir_night = maybe_hflip(keys[2], rgb_night, ir_night)
+    (rgb_day, ir_day), (label_day,) = maybe_rotate_pair(
+        keys[3], (rgb_day, ir_day), (label_day,))
+    (rgb_night, ir_night), _ = maybe_rotate_pair(keys[4], (rgb_night, ir_night))
+
+    return {
+        "rgb_day": normalize(rgb_day),
+        "ir_day": normalize(ir_day, (0.5,), (0.5,)),
+        "label_day": label_day,
+        "rgb_night": normalize(rgb_night),
+        "ir_night": normalize(ir_night, (0.5,), (0.5,)),
+    }

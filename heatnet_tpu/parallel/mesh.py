@@ -104,3 +104,18 @@ def pad_batch_to(batch, global_batch: int):
 
     first = jax.tree_util.tree_leaves(batch)[0]
     return jax.tree_util.tree_map(_pad, batch), first.shape[0]
+
+
+def mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:
+    """Mesh whose data axis is the largest device count dividing the batch.
+
+    CLI convenience: reference runs used global batches (4, 30) that need not
+    match the chip count; the data axis must divide the batch for even
+    sharding, so shrink the mesh rather than crash (remaining devices idle —
+    prefer batch sizes that are multiples of the device count).
+    """
+    n = len(jax.devices()) // model_parallel
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return create_mesh(num_devices=max(n, 1) * model_parallel,
+                       model_parallel=model_parallel)

@@ -42,11 +42,13 @@ def step_lr(init_lr: float, step_size: int, gamma: float = 0.1,
 
 def multistep_lr(init_lr: float, milestones, gamma: float = 0.1,
                  steps_per_epoch: int = 1) -> Callable:
-    milestones = sorted(milestones)
+    import jax.numpy as jnp
+
+    milestones_arr = sorted(milestones)
 
     def schedule(count):
         epoch = count // steps_per_epoch
-        k = sum(1 for m in milestones if epoch >= m)
+        k = sum(jnp.where(epoch >= m, 1, 0) for m in milestones_arr)
         return init_lr * (gamma ** k)
 
     return schedule
@@ -71,11 +73,14 @@ def linear_lr(init_lr: float, alpha: float, beta: float,
 
 def lambda_linear_decay(n_epochs: int, offset: int, decay_start_epoch: int,
                         init_lr: float, steps_per_epoch: int = 1) -> Callable:
-    """CycleGAN ``LambdaLR`` (utils.py:115-123): flat then linear to zero."""
+    """CycleGAN ``LambdaLR`` (utils.py:115-123): flat then linear to zero.
+
+    Traceable (called with a jit-traced step count inside optax)."""
+    import jax.numpy as jnp
 
     def schedule(count):
         epoch = count // steps_per_epoch
-        f = 1.0 - max(0, epoch + offset - decay_start_epoch) / (
+        f = 1.0 - jnp.maximum(0, epoch + offset - decay_start_epoch) / (
             n_epochs - decay_start_epoch)
         return init_lr * f
 

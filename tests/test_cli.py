@@ -1,0 +1,113 @@
+"""CLI smoke tests over synthetic datasets (the public flag surface)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from heatnet_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def roots(tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    return {
+        "train": synthetic.make_freiburg_train(str(base / "fr"), n_day=4,
+                                               n_night=3),
+        "test_day": synthetic.make_freiburg_test(str(base / "day"), n=1),
+        "test_night": synthetic.make_freiburg_test(str(base / "night"), n=1),
+        "infer": synthetic.make_freiburg_infer(str(base / "inf"), n=2),
+        "mfnet": synthetic.make_mfnet(str(base / "mf")),
+        "bdd": synthetic.make_bdd(str(base / "bdd")),
+        "vistas": synthetic.make_vistas(str(base / "vis"), n=4, hw=(96, 160)),
+        "base": str(base),
+    }
+
+
+def test_main_cli_train_and_eval(roots):
+    from heatnet_tpu.cli.main import main
+
+    ckpt_dir = os.path.join(roots["base"], "ckpts")
+    best = main([
+        "--data", roots["vistas"], "--valdata", roots["vistas"],
+        "--width", "96", "--height", "64", "--batch-size", "2",
+        "--epochs", "1", "--max-steps-per-epoch", "2",
+        "--structure", "1", "1", "1", "1",
+        "--checkpoint-dir", ckpt_dir,
+        "--log-dir", os.path.join(roots["base"], "runs"),
+        "--config", os.path.join(os.path.dirname(__file__),
+                                 "../experiments/heatnet_conf.json"),
+    ])
+    assert 0.0 <= best <= 1.0
+    assert os.path.exists(os.path.join(ckpt_dir, "checkpoint"))
+
+    # resume + evaluate-only path
+    miou = main([
+        "--data", roots["vistas"], "--valdata", roots["vistas"],
+        "--width", "96", "--height", "64", "--evaluate",
+        "--structure", "1", "1", "1", "1",
+        "--resume", os.path.join(ckpt_dir, "checkpoint"),
+        "--log-dir", os.path.join(roots["base"], "runs"),
+    ])
+    assert 0.0 <= miou <= 1.0
+
+
+def test_conf_cli_short_training(roots):
+    from heatnet_tpu.cli.train_conf import main
+
+    ckpt = os.path.join(roots["base"], "conf_ckpt")
+    best = main([
+        "--dataroot", roots["train"],
+        "--testroot_day", roots["test_day"],
+        "--testroot_night", roots["test_night"],
+        "--n_epochs", "1", "--batch_size", "2", "--num_critics", "2",
+        "--discarch", "resnet18", "--moddrop", "--irscale",
+        "--iter_seg_phase", "1", "--iter_critic_phase", "1",
+        "--iter_initial_critic_phase", "1", "--max_iters_per_epoch", "2",
+        "--eval_everyn", "1", "--checkpointname", ckpt,
+        "--structure", "1", "1", "1", "1",
+        "--crop_height", "64", "--crop_width", "128",
+        "--log_dir", os.path.join(roots["base"], "runs"),
+    ])
+    assert os.path.exists(ckpt)
+    assert 0.0 <= best <= 1.0
+
+
+def test_conf_cli_eval_mfnet(roots):
+    from heatnet_tpu.cli.train_conf import main
+
+    miou = main([
+        "--eval", "MF_night", "--testroot_mfnet", roots["mfnet"],
+        "--structure", "1", "1", "1", "1",
+        "--num_critics", "2", "--discarch", "resnet18",
+        "--crop_height", "64", "--crop_width", "128",
+        "--log_dir", os.path.join(roots["base"], "runs"),
+    ])
+    assert np.isfinite(miou) or np.isnan(miou)
+
+
+def test_conf_cli_infer(roots):
+    from heatnet_tpu.cli.train_conf import main
+
+    save = os.path.join(roots["base"], "infer_out")
+    main([
+        "--infer", roots["infer"], "--im_save_dir", save,
+        "--structure", "1", "1", "1", "1",
+        "--num_critics", "2", "--discarch", "resnet18",
+        "--crop_height", "64", "--crop_width", "128",
+        "--log_dir", os.path.join(roots["base"], "runs"),
+    ])
+    assert os.path.exists(os.path.join(save, "pred_0.png"))
+
+
+def test_inference_cli(roots):
+    from heatnet_tpu.cli.inference import main
+
+    dt = main([
+        "--data", roots["infer"], "--iters", "2",
+        "--structure", "1", "1", "1", "1",
+        "--im-save-dir", os.path.join(roots["base"], "inf_out"),
+    ])
+    assert dt > 0
+    assert os.path.exists(os.path.join(roots["base"], "inf_out", "pred_0.png"))
