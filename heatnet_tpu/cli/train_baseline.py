@@ -1,0 +1,165 @@
+"""MFNet / RTFNet baseline training + evaluation harness.
+
+Reference: ``models/external_models/{mfnet,rtfnet}/{train.py,test.py}`` —
+SGD(lr 0.01, momentum 0.9, wd 5e-4) with per-epoch lr·0.95^epoch decay,
+RandomFlip(0.5) + RandomCrop(rate 0.1) augmentation, 9-class MFNet data,
+and the ``calculate_result`` confusion-matrix protocol (util/util.py:14-26:
+per-class accuracy + IoU that excludes the unlabelled class from overall
+accuracy).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def calculate_result(cf: np.ndarray):
+    """(overall_acc, per-class acc, per-class IoU) from a confusion matrix
+    (rows = GT, cols = pred), exactly util/util.py:14-26."""
+    n_class = cf.shape[0]
+    conf = np.zeros((n_class, n_class))
+    iou = np.zeros(n_class)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if cf[:, 0].sum() > 0:
+            conf[:, 0] = cf[:, 0] / cf[:, 0].sum()
+        for cid in range(1, n_class):
+            if cf[:, cid].sum() > 0:
+                conf[:, cid] = cf[:, cid] / cf[:, cid].sum()
+                iou[cid] = cf[cid, cid] / (
+                    cf[cid, 1:].sum() + cf[1:, cid].sum() - cf[cid, cid])
+        overall_acc = np.diag(cf[1:, 1:]).sum() / cf[1:, :].sum()
+    acc = np.diag(conf)
+    return overall_acc, acc, iou
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument('--model_name', default='MFNet', choices=['MFNet', 'RTFNet'])
+    p.add_argument('--data_dir', required=True)
+    p.add_argument('--batch_size', type=int, default=8)
+    p.add_argument('--epoch_max', type=int, default=100)
+    p.add_argument('--epoch_from', type=int, default=1)
+    p.add_argument('--lr_start', type=float, default=0.01)
+    p.add_argument('--lr_decay', type=float, default=0.95)
+    p.add_argument('--test', action='store_true', help='evaluate only')
+    p.add_argument('--resume', default='', type=str)
+    p.add_argument('--checkpointname', default='baseline_ckpt', type=str)
+    p.add_argument('--max_iters_per_epoch', type=int, default=None)
+    p.add_argument('--log_dir', default='runs', type=str)
+    return p
+
+
+def main(argv=None) -> float:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..core.cache import enable_compilation_cache
+    from ..data.loaders import MFNetDataset, MFNetTrainDataset, batch_iterator
+    from ..io.checkpoint import load_checkpoint, restore_full, save_checkpoint
+    from ..io.logging import AverageMeter, RunLogger
+    from ..models import MFNet, RTFNet
+    from ..ops.iou import confusion_matrix
+    from ..train.state import TrainState, init_model
+    from ..train.supervised import cross_entropy_ignore
+
+    enable_compilation_cache()
+    logger = RunLogger("baseline-" + args.model_name, log_dir=args.log_dir)
+    logger.update_config(args)
+
+    n_class = 9
+    model = (MFNet(n_class=n_class) if args.model_name == "MFNet"
+             else RTFNet(n_class=n_class))
+
+    dummy = jnp.zeros((1, 480, 640, 4))
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), dummy,
+                                     init_kwargs={"train": True})
+    if args.resume:
+        saved = load_checkpoint(args.resume)
+        sd = saved.get("state_dict", saved)
+        params = restore_full(params, sd["params"])
+        batch_stats = sd.get("batch_stats", batch_stats)
+
+    # SGD + per-epoch exponential decay (train.py:29-36,110)
+    sched_holder = {"lr": args.lr_start}
+    tx = optax.chain(optax.add_decayed_weights(5e-4),
+                     optax.inject_hyperparams(optax.sgd)(
+                         learning_rate=args.lr_start, momentum=0.9))
+    state = TrainState.create(model.apply, params, batch_stats, tx)
+
+    def fused(batch):
+        return jnp.concatenate([batch["rgb"], batch["ir"]], axis=-1)
+
+    @jax.jit
+    def train_step(state, image, label):
+        def loss_fn(p, bs):
+            (seg), new_vars = model.apply(
+                {"params": p, "batch_stats": bs}, image, train=True,
+                mutable=["batch_stats"])
+            return (cross_entropy_ignore(seg, label, ignore_index=-1),
+                    new_vars["batch_stats"])
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats)
+        return state.apply_gradients(grads, new_bs), loss
+
+    @jax.jit
+    def eval_step(variables, image, label):
+        seg = model.apply(variables, image, train=False)
+        return confusion_matrix(jnp.argmax(seg, -1), label, n_class)
+
+    def evaluate(split: str) -> float:
+        ds = MFNetDataset(args.data_dir, split=split)
+        cf = np.zeros((n_class, n_class), np.int64)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        for i in range(len(ds)):
+            item = ds[i]
+            img = jnp.concatenate([jnp.asarray(item["rgb"]),
+                                   jnp.asarray(item["ir"])], axis=-1)
+            cf += np.asarray(eval_step(variables, img,
+                                       jnp.asarray(item["label"])), np.int64)
+        overall_acc, acc, iou = calculate_result(cf)
+        print(f"[{split}] overall_acc {overall_acc:.4f} "
+              f"mIoU {np.nanmean(iou[1:]):.4f}")
+        logger.log({f"{split}_overall_acc": float(overall_acc),
+                    f"{split}_mIoU": float(np.nanmean(iou[1:]))})
+        return float(overall_acc)
+
+    if args.test:
+        return evaluate("combined")
+
+    train_ds = MFNetTrainDataset(args.data_dir)
+    rng = jax.random.PRNGKey(0)
+    from ..data.loaders import DeviceAugment
+
+    augment = DeviceAugment(crop_hw=(432, 576), mfnet=True)  # crop_rate 0.1
+    loss_meter = AverageMeter()
+    for epo in range(args.epoch_from, args.epoch_max + 1):
+        lr = args.lr_start * args.lr_decay ** (epo - 1)
+        state.opt_state[1].hyperparams["learning_rate"] = jnp.asarray(lr)
+        for i, raw in enumerate(batch_iterator(train_ds, args.batch_size,
+                                               seed=epo)):
+            if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
+                break
+            rng, k = jax.random.split(rng)
+            b = augment(k, raw)
+            image = jnp.concatenate([b["rgb_day"], b["ir_day"]], axis=-1)
+            state, loss = train_step(state, image, b["label_day"])
+            loss_meter.update(float(loss))
+            logger.log({"epoch": epo, "lr": lr, "loss": loss_meter.avg})
+        print(f"epo {epo}/{args.epoch_max} lr {lr:.5f} loss {loss_meter.avg:.4f}")
+        host = jax.device_get({"params": state.params,
+                               "batch_stats": state.batch_stats})
+        save_checkpoint({"epoch": epo, "state_dict": host}, args.checkpointname)
+    evaluate("day")
+    evaluate("night")
+    logger.finish()
+    return loss_meter.avg
+
+
+if __name__ == "__main__":
+    main()

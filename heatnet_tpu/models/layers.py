@@ -76,6 +76,50 @@ class ABN(nn.Module):
         return self.norm_act.act(x)
 
 
+class GroupedConvDense(nn.Module):
+    """Grouped conv computed as a DENSE conv with a block-diagonal kernel.
+
+    TPU performance core: XLA maps ``feature_group_count=64`` convs onto the
+    MXU with 2-16-channel contractions — measured 2.8x slower than dense at
+    ResNeXt-50 scale (88 → 32 ms/batch for the full model, batch 8, v5e).
+    Expanding the grouped kernel into a block-diagonal dense kernel wastes
+    ``groups``x FLOPs on structural zeros but runs at dense MXU throughput —
+    identical math, identical (grouped) parameter layout, so torch
+    checkpoints import unchanged.
+    """
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: int = 0
+    dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        g = self.groups
+        cin = x.shape[-1]
+        cin_pg, out_pg = cin // g, self.features // g
+        kern = self.param(
+            "kernel", self.kernel_init,
+            (self.kernel, self.kernel, cin_pg, self.features), jnp.float32)
+        k5 = kern.astype(self.dtype).reshape(
+            self.kernel, self.kernel, cin_pg, g, out_pg)
+        eye = jnp.eye(g, dtype=self.dtype)
+        dense = jnp.einsum("hkcgo,Gg->hkGcgo", k5, eye).reshape(
+            self.kernel, self.kernel, cin, self.features)
+        pad = ((self.padding, self.padding),) * 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), dense,
+            window_strides=(self.stride, self.stride),
+            padding=pad,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 def conv(
     features: int,
     kernel: int,
@@ -87,11 +131,24 @@ def conv(
     name: Optional[str] = None,
     dtype: Any = jnp.float32,
     kernel_init: Optional[Callable] = None,
-) -> nn.Conv:
-    """2D conv with torch-style explicit integer padding (NHWC)."""
+):
+    """2D conv with torch-style explicit integer padding (NHWC).
+
+    Grouped convs route through :class:`GroupedConvDense` (block-diagonal
+    dense compute — see its docstring) unless ``HEATNET_NATIVE_GROUPS=1``.
+    """
     if padding is None:
         # torch default in these models: padding = dilation for 3x3, 0 for 1x1
         padding = dilation if kernel == 3 else 0
+    import os
+
+    if groups > 1 and os.environ.get("HEATNET_NATIVE_GROUPS", "0") != "1":
+        return GroupedConvDense(
+            features=features, kernel=kernel, stride=stride,
+            dilation=dilation, groups=groups, padding=padding,
+            dtype=dtype, name=name,
+            kernel_init=kernel_init or nn.initializers.lecun_normal(),
+        )
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),

@@ -211,3 +211,32 @@ def test_batchnorm_train_updates_stats():
     before = variables["batch_stats"]["mod1"]["bn1"]["bn"]["mean"]
     after = mutated["batch_stats"]["mod1"]["bn1"]["bn"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_grouped_conv_dense_equals_native():
+    """GroupedConvDense (block-diagonal dense compute) must match XLA's
+    native grouped conv bit-for-bit with the same (grouped) kernel layout."""
+    import os
+    from heatnet_tpu.models.layers import conv
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 32), jnp.float32)
+    dense_mod = conv(64, 3, groups=8, dilation=2)
+    v = dense_mod.init({"params": KEY}, x)
+    assert v["params"]["kernel"].shape == (3, 3, 4, 64)  # grouped layout
+    out_dense = dense_mod.apply(v, x)
+
+    os.environ["HEATNET_NATIVE_GROUPS"] = "1"
+    try:
+        native_mod = conv(64, 3, groups=8, dilation=2)
+        out_native = native_mod.apply(v, x)
+    finally:
+        del os.environ["HEATNET_NATIVE_GROUPS"]
+    np.testing.assert_array_equal(np.asarray(out_dense), np.asarray(out_native))
+
+
+def test_scan_benchmark_scales_with_work():
+    from heatnet_tpu.utils.profiling import scan_benchmark
+
+    a = jnp.ones((256, 256), jnp.float32)
+    t_small = scan_benchmark(lambda x: x @ x, (a,), n_small=2, n_large=10, reps=2)
+    assert t_small > 0
