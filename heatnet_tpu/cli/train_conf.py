@@ -79,6 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
     # additive knobs for smoke/debug runs
     parser.add_argument('--max_iters_per_epoch', type=int, default=None)
     parser.add_argument('--eval_everyn', type=int, default=None)
+    parser.add_argument('--log_everyn', type=int, default=10,
+                        help='host-sync/log metrics every N iters')
     parser.add_argument('--log_dir', type=str, default='runs')
     parser.add_argument('--crop_height', type=int, default=320)
     parser.add_argument('--crop_width', type=int, default=640)
@@ -217,10 +219,24 @@ def main(argv=None) -> float:
             "resnet50", in_channels=model.num_input_channels,
             late_fusion=opt.late_fusion, dtype=dtype)
 
-    def fresh_variables():
-        v = {"params": params["trgb_segnet"]}
-        if batch_stats is not None and "trgb_segnet" in batch_stats:
-            v["batch_stats"] = batch_stats["trgb_segnet"]
+    def fresh_variables(live_state=None):
+        """Segnet-subtree variables for eval.
+
+        With ``live_state`` (an AdversarialTrainState) the *current trained*
+        parameters are used — the reference evaluates
+        ``conf_segnet_model.module.trgb_segnet`` live (:594-654). Without it
+        (the pre-training --eval/--infer dispatch) the freshly
+        restored/initialized ``params`` are used.
+        """
+        if live_state is not None:
+            p = jax.device_get(live_state.params)
+            bs = (jax.device_get(live_state.batch_stats)
+                  if live_state.batch_stats is not None else None)
+        else:
+            p, bs = params, batch_stats
+        v = {"params": p["trgb_segnet"]}
+        if bs is not None and "trgb_segnet" in bs:
+            v["batch_stats"] = bs["trgb_segnet"]
         return v
 
     def iter_ds(ds):
@@ -304,6 +320,7 @@ def main(argv=None) -> float:
                                                    teacher_vars)
     pm = PhaseMachine(cfg, no_conf=opt.no_conf)
     eval_everyn = opt.eval_everyn or (2 if opt.trainsetname == 'FR' else 20)
+    log_everyn = max(opt.log_everyn, 1)
 
     meters = {k: AverageMeter() for k in
               ("total_phase1", "total_phase2", "seg", "conf", "critic")}
@@ -318,28 +335,36 @@ def main(argv=None) -> float:
             batch = augment(k_aug, raw)
             batch = shard_batch(mesh, batch)
             phase = pm.tick()
+            # metrics stay on device between log points; a float()/log every
+            # iteration would force a host sync per step and serialize the
+            # pipeline (reference prints per-iter, :548-560 — we log every
+            # --log_everyn and keep the same keys/averages).
             if phase == "train_seg":
                 state, m = seg_step(state, batch, k_step)
-                meters["total_phase1"].update(float(m["total_loss"]))
-                meters["seg"].update(float(m["seg_loss"]))
-                meters["conf"].update(float(m["conf_loss"]))
-                logger.log({"epoch": epoch,
-                            "total_loss_phase1": meters["total_phase1"].avg,
-                            "seg_loss": meters["seg"].avg,
-                            "conf_loss": float(m["conf_loss"])})
             else:
                 state, m = critic_step(state, batch)
-                meters["total_phase2"].update(float(m["total_loss"]))
-                meters["critic"].update(float(m["critic_loss"]))
-                logger.log({"epoch": epoch,
-                            "total_loss_phase2": meters["total_phase2"].avg,
-                            "critic_loss": meters["critic"].avg})
-            print("Current loss: %f " % (
-                meters["total_phase1" if phase == "train_seg"
-                       else "total_phase2"].avg))
+            if (i % log_everyn) == 0 or i == steps_per_epoch - 1:
+                mh = jax.device_get(m)
+                if phase == "train_seg":
+                    meters["total_phase1"].update(float(mh["total_loss"]))
+                    meters["seg"].update(float(mh["seg_loss"]))
+                    meters["conf"].update(float(mh["conf_loss"]))
+                    logger.log({"epoch": epoch,
+                                "total_loss_phase1": meters["total_phase1"].avg,
+                                "seg_loss": meters["seg"].avg,
+                                "conf_loss": float(mh["conf_loss"])})
+                else:
+                    meters["total_phase2"].update(float(mh["total_loss"]))
+                    meters["critic"].update(float(mh["critic_loss"]))
+                    logger.log({"epoch": epoch,
+                                "total_loss_phase2": meters["total_phase2"].avg,
+                                "critic_loss": meters["critic"].avg})
+                print("Current loss: %f " % (
+                    meters["total_phase1" if phase == "train_seg"
+                           else "total_phase2"].avg))
 
         if (epoch % eval_everyn) == 0 and opt.testroot_night and opt.testroot_day:
-            v = fresh_variables()
+            v = fresh_variables(state)
             ious_night = validate_model(
                 segnet, v, iter_ds(make_fr_loader(
                     [r for r in (opt.testroot_night, opt.testroot_fence) if r])),
