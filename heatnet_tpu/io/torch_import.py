@@ -36,13 +36,41 @@ _BN_STATS = {"running_mean": "mean", "running_var": "var"}
 
 def _rename_path(parts) -> list:
     out = []
-    for i, p in enumerate(parts):
+    for p in parts:
+        prev = out[-1] if out else ""
         if p == "convs":
             continue  # Sequential container flattened in our modules
-        if p == "conv1_2":
+        if p == "conv1_2" and prev.startswith("mod1"):
+            # trgb initBlock names its first pair conv1_2/bn1_2
+            # (trgb_segnet.py:230-239); covers both stems mod1 and mod1_2.
+            # Top-level conv1_2/bn1_2 (late-fusion extractors.py:123-126)
+            # keep their names.
             p = "conv1"
-        elif p == "bn1_2" and i > 0 and parts[i - 1] == "mod1":
+        elif p == "bn1_2" and prev.startswith("mod1"):
             p = "bn1"
+        elif p.isdigit():
+            d = int(p)
+            if prev.startswith("layer"):
+                # torchvision Sequential block index (extractors.py:168-182)
+                p = f"block{d + 1}"
+            elif prev == "downsample":
+                # downsample = Sequential(Conv2d, BatchNorm2d)
+                out.pop()
+                p = "downsample_conv" if d == 0 else "downsample_bn"
+            elif prev == "stages":
+                # PSPModule.stages[i] = Sequential(AdaptiveAvgPool2d, Conv2d)
+                # (pspnet.py:11-19) → our psp/stage{i+1}_conv
+                out.pop()
+                p = f"stage{d + 1}"
+            elif prev.startswith("stage") and prev[5:].isdigit():
+                out[-1] = out[-1] + "_conv"  # the inner Sequential's Conv2d
+                continue
+            elif prev == "conv" and len(out) >= 2 and out[-2].startswith("up_"):
+                # PSPUpsample.conv = Sequential(Conv2d, BatchNorm2d, PReLU)
+                out.pop()
+                p = ("conv", "bn", "prelu")[d]
+            elif prev == "final":
+                continue  # final = Sequential(Conv2d) (pspnet.py:57-59)
         out.append(p)
     return out
 
@@ -94,9 +122,12 @@ def convert_state_dict(state_dict: Dict[str, Any],
             elif t.ndim == 1 and path and "bn" in path[-1]:
                 # plain BatchNorm module not wrapped in ABN (e.g. extractors)
                 params["/".join(path + ["scale"])] = t
+            elif "prelu" in (path[-1] if path else "") and t.size == 1:
+                # torch PReLU(num_parameters=1) is shape (1,); flax
+                # nn.PReLU's negative_slope is a scalar
+                params["/".join(path + ["negative_slope"])] = t.reshape(())
             else:
-                params["/".join(path + ["negative_slope" if "prelu" in
-                                        (path[-1] if path else "") else "weight"])] = t
+                params["/".join(path + ["weight"])] = t
             continue
         if leaf == "bias":
             params["/".join(path + ["bias"])] = t

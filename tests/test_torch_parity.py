@@ -1,0 +1,324 @@
+"""Golden numerical-equivalence tests against the torch reference models.
+
+The north star (BASELINE.md) demands val mIoU within 0.5 pts of the
+reference checkpoint; that requires the converted networks to be
+numerically equivalent layer-for-layer. These tests instantiate the actual
+reference definitions (torch CPU) from /root/reference with random weights
+and randomized BatchNorm running statistics, convert the state_dict with
+``heatnet_tpu.io.torch_import``, and assert that the flax forward pass
+matches the torch forward pass at eval semantics.
+
+Covers (VERDICT round-1 item 3): trgb_segnet early fusion, late fusion,
+cert branch (``trgb_segnet.py:242-416``, output tuple :399-402), and the
+Vistas segnet 7x7-stem variant (``segnet.py:224-379``). The conversion-hit
+assertion guarantees every target parameter was actually imported — a
+naming miss silently comparing random weights cannot pass.
+"""
+
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference/models"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not available")
+
+torch = pytest.importorskip("torch")
+
+
+def _load_ref_package(alias: str, path: str):
+    """Register a reference directory as an importable package."""
+    if alias in sys.modules:
+        return sys.modules[alias]
+    pkg = types.ModuleType(alias)
+    pkg.__path__ = [path]
+    sys.modules[alias] = pkg
+    return pkg
+
+
+def _ref_trgb():
+    _load_ref_package("_ref_conf_models",
+                      os.path.join(REFERENCE, "confusion_maximization",
+                                   "models"))
+    return importlib.import_module("_ref_conf_models.trgb_segnet")
+
+
+def _ref_segnet():
+    _load_ref_package("_ref_models", REFERENCE)
+    return importlib.import_module("_ref_models.segnet")
+
+
+def _stub_torchvision():
+    """extractors.py imports torchvision's densenet/squeezenet constructors
+    at module scope; stub them (only called for those backends)."""
+    if "torchvision" in sys.modules:
+        return
+
+    def _unavailable(*a, **k):
+        raise RuntimeError("torchvision stub: pretrained nets unavailable")
+
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    dn = types.ModuleType("torchvision.models.densenet")
+    dn.densenet121 = dn.densenet161 = _unavailable
+    sq = types.ModuleType("torchvision.models.squeezenet")
+    sq.squeezenet1_1 = _unavailable
+    tv.models = tv_models
+    tv_models.densenet = dn
+    tv_models.squeezenet = sq
+    sys.modules.update({"torchvision": tv, "torchvision.models": tv_models,
+                        "torchvision.models.densenet": dn,
+                        "torchvision.models.squeezenet": sq})
+
+
+def _ref_pspnet():
+    """Import the reference PSPNet; it does ``import models.extractors`` so
+    the confusion_maximization/models dir must be importable as ``models``."""
+    _stub_torchvision()
+    path = os.path.join(REFERENCE, "confusion_maximization", "models")
+    if "models" not in sys.modules or not getattr(
+            sys.modules["models"], "__path__", [None])[0] == path:
+        pkg = types.ModuleType("models")
+        pkg.__path__ = [path]
+        sys.modules["models"] = pkg
+    return importlib.import_module("models.pspnet")
+
+
+def _randomize_bn_stats(model: "torch.nn.Module", seed: int = 7) -> None:
+    """Non-trivial running stats + affine so BN conversion is truly tested."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                             generator=g) * 0.1)
+            m.running_var.copy_(
+                torch.rand(m.running_var.shape, generator=g) + 0.5)
+            if m.weight is not None:
+                m.weight.data.copy_(
+                    torch.rand(m.weight.shape, generator=g) + 0.5)
+                m.bias.data.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
+
+
+def _convert_full(model_t, params, batch_stats, allowed_missing=()):
+    """Convert + import, asserting every target leaf (minus allowed) is hit."""
+    from heatnet_tpu.io.checkpoint import _flatten, _shape_ok
+    from heatnet_tpu.io.torch_import import convert_state_dict, import_into
+
+    sd = model_t.state_dict()
+    p_flat, s_flat = convert_state_dict(sd)
+
+    missing_p = [k for k, v in _flatten(params).items()
+                 if not (k in p_flat and _shape_ok(p_flat[k], v))
+                 and not any(k.startswith(a) for a in allowed_missing)]
+    assert not missing_p, f"unconverted params: {missing_p[:8]}"
+    if batch_stats is not None:
+        missing_s = [k for k, v in _flatten(batch_stats).items()
+                     if not (k in s_flat and _shape_ok(s_flat[k], v))
+                     and not any(k.startswith(a) for a in allowed_missing)]
+        assert not missing_s, f"unconverted batch_stats: {missing_s[:8]}"
+
+    return import_into(params, batch_stats, sd)
+
+
+def _jax_variables(model_j, example_inputs):
+    import jax
+
+    from heatnet_tpu.train.state import init_model
+
+    params, batch_stats = init_model(
+        model_j, jax.random.PRNGKey(0), *example_inputs,
+        init_kwargs={"train": True})
+    return params, batch_stats
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.ascontiguousarray(
+        np.moveaxis(x_nhwc, -1, 1)))
+
+
+def _to_nhwc(t):
+    return np.moveaxis(t.detach().numpy(), 1, -1)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("late_fusion,cert_branch", [
+    (False, False),
+    (False, True),
+    (True, False),
+])
+def test_trgb_segnet_forward_parity(late_fusion, cert_branch):
+    import jax.numpy as jnp
+
+    from heatnet_tpu.models import ResNeXtSeg
+
+    ref = _ref_trgb()
+    torch.manual_seed(0)
+    model_t = ref.ResNeXt(structure=[1, 1, 1, 1], input_channels=4,
+                          cert_branch=cert_branch, late_fusion=late_fusion)
+    model_t.eval()
+    _randomize_bn_stats(model_t)
+
+    model_j = ResNeXtSeg(structure=(1, 1, 1, 1), input_channels=4,
+                         cert_branch=cert_branch, late_fusion=late_fusion,
+                         dtype=jnp.float32)
+    rgb = np.random.RandomState(1).rand(2, 64, 128, 3).astype(np.float32)
+    ir = np.random.RandomState(2).rand(2, 64, 128, 1).astype(np.float32)
+
+    params, batch_stats = _jax_variables(model_j, [jnp.asarray(rgb),
+                                                   jnp.asarray(ir)])
+    # reference-only heads never forwarded: bn_out_2/up_borders_3/up_inst_2
+    # exist in the torch module but not ours; cert heads exist in ours
+    # (params always materialized) but not in torch unless cert_branch.
+    allowed = () if cert_branch else ("up_seg_2_cert", "fuse_seg_cert")
+    params, batch_stats = _convert_full(model_t, params, batch_stats,
+                                        allowed_missing=allowed)
+
+    with torch.no_grad():
+        seg_t, taps_t, cert_t = model_t(_nchw(rgb), _nchw(ir))
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    seg_j, taps_j, cert_j = model_j.apply(variables, jnp.asarray(rgb),
+                                          jnp.asarray(ir), train=False)
+
+    np.testing.assert_allclose(np.asarray(seg_j), _to_nhwc(seg_t),
+                               rtol=1e-3, atol=2e-3)
+    for i, (tj, tt) in enumerate(zip(taps_j, taps_t)):
+        np.testing.assert_allclose(
+            np.asarray(tj), _to_nhwc(tt), rtol=1e-3, atol=2e-3,
+            err_msg=f"critic tap {i} diverges")
+    if cert_branch:
+        np.testing.assert_allclose(np.asarray(cert_j), _to_nhwc(cert_t),
+                                   rtol=1e-3, atol=2e-3)
+    else:
+        assert cert_j is None and cert_t is None
+
+
+@pytest.mark.slow
+def test_vistas_segnet_forward_parity():
+    import jax.numpy as jnp
+
+    from heatnet_tpu.models import ResNeXtSeg
+
+    ref = _ref_segnet()
+    torch.manual_seed(0)
+    model_t = ref.ResNeXt(structure=[1, 1, 1, 1], input_3x3=False, classes=14)
+    model_t.eval()
+    _randomize_bn_stats(model_t)
+
+    model_j = ResNeXtSeg(structure=(1, 1, 1, 1), input_channels=3,
+                         classes=14, input_3x3=False, dtype=jnp.float32)
+    img = np.random.RandomState(3).rand(2, 64, 128, 3).astype(np.float32)
+
+    params, batch_stats = _jax_variables(model_j, [jnp.asarray(img)])
+    # Vistas reference ASPP has no final_conv2/cert heads (segnet.py:128-172)
+    allowed = ("aspp/final_conv2", "up_seg_2_cert", "fuse_seg_cert")
+    params, batch_stats = _convert_full(model_t, params, batch_stats,
+                                        allowed_missing=allowed)
+
+    with torch.no_grad():
+        seg_t = model_t(_nchw(img))
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    seg_j, _taps, _cert = model_j.apply(variables, jnp.asarray(img),
+                                        train=False)
+    np.testing.assert_allclose(np.asarray(seg_j), _to_nhwc(seg_t),
+                               rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backend,psp_size,late_fusion", [
+    ("resnet18", 512, False),
+    ("resnet50", 2048, False),
+    ("resnet50", 2048, True),
+])
+def test_pspnet_forward_parity(backend, psp_size, late_fusion):
+    """PSPNet + dilated-ResNet extractor vs the torch reference
+    (pspnet.py:43-76, extractors.py:105-200, build_net.py:7-18 configs)."""
+    import jax.numpy as jnp
+
+    from heatnet_tpu.models.pspnet import PSPNet
+
+    ref = _ref_pspnet()
+    ext = importlib.import_module("models.extractors")
+    if backend != "resnet50":
+        # reference defect: PSPNet passes late_fusion/in_channels to every
+        # backend factory but only resnet50's accepts them
+        # (extractors.py:376-408) — shim the signature for the test.
+        layers = {"resnet18": ([2, 2, 2, 2], ext.BasicBlock)}[backend]
+        setattr(ext, backend,
+                lambda pretrained, late_fusion=False, in_channels=3:
+                ext.ResNet(layers[1], layers[0], late_fusion, in_channels))
+    torch.manual_seed(0)
+    in_ch = 4 if late_fusion else 3
+    model_t = ref.PSPNet(n_classes=13, psp_size=psp_size, backend=backend,
+                         pretrained=False, late_fusion=late_fusion,
+                         in_channels=in_ch)
+    model_t.eval()
+    _randomize_bn_stats(model_t)
+
+    model_j = PSPNet(n_classes=13, psp_size=psp_size, backend=backend,
+                     late_fusion=late_fusion, in_channels=in_ch,
+                     dtype=jnp.float32)
+    rgb = np.random.RandomState(6).rand(2, 64, 128, 3).astype(np.float32)
+    ir = np.random.RandomState(7).rand(2, 64, 128, 1).astype(np.float32)
+    if late_fusion:
+        inputs_j = [jnp.asarray(rgb), jnp.asarray(ir)]
+        inputs_t = (_nchw(rgb), _nchw(ir))
+    else:
+        inputs_j = [jnp.asarray(rgb)]
+        inputs_t = (_nchw(rgb),)
+
+    params, batch_stats = _jax_variables(model_j, inputs_j)
+    params, batch_stats = _convert_full(model_t, params, batch_stats)
+
+    with torch.no_grad():
+        out_t, taps_t, _ = model_t(*inputs_t)
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    out_j, taps_j, _ = model_j.apply(variables, *inputs_j, train=False)
+
+    np.testing.assert_allclose(np.asarray(out_j), _to_nhwc(out_t),
+                               rtol=1e-3, atol=2e-3)
+    for i, (tj, tt) in enumerate(zip(taps_j, taps_t)):
+        np.testing.assert_allclose(
+            np.asarray(tj), _to_nhwc(tt), rtol=3e-3, atol=5e-3,
+            err_msg=f"pspnet tap {i} diverges")
+
+
+@pytest.mark.slow
+def test_trgb_segnet_resnext50_full_depth_parity():
+    """Full ResNeXt-50 stack at a small eval shape (the flagship config)."""
+    import jax.numpy as jnp
+
+    from heatnet_tpu.models import ResNeXtSeg
+
+    ref = _ref_trgb()
+    torch.manual_seed(0)
+    model_t = ref.ResNeXt(structure=[3, 4, 6, 3], input_channels=4)
+    model_t.eval()
+    _randomize_bn_stats(model_t)
+
+    model_j = ResNeXtSeg(structure=(3, 4, 6, 3), input_channels=4,
+                         dtype=jnp.float32)
+    rgb = np.random.RandomState(4).rand(1, 64, 128, 3).astype(np.float32)
+    ir = np.random.RandomState(5).rand(1, 64, 128, 1).astype(np.float32)
+
+    params, batch_stats = _jax_variables(model_j, [jnp.asarray(rgb),
+                                                   jnp.asarray(ir)])
+    params, batch_stats = _convert_full(
+        model_t, params, batch_stats,
+        allowed_missing=("up_seg_2_cert", "fuse_seg_cert"))
+
+    with torch.no_grad():
+        seg_t, _, _ = model_t(_nchw(rgb), _nchw(ir))
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    seg_j, _, _ = model_j.apply(variables, jnp.asarray(rgb), jnp.asarray(ir),
+                                train=False)
+    np.testing.assert_allclose(np.asarray(seg_j), _to_nhwc(seg_t),
+                               rtol=1e-3, atol=5e-3)
