@@ -59,7 +59,9 @@ def main(argv=None) -> float:
 
     rgb = jnp.asarray(first["rgb"])
     ir = jnp.asarray(first["ir"])
-    params, batch_stats = init_model(model, jax.random.PRNGKey(0), rgb, ir)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                     jnp.zeros(rgb.shape, jnp.float32),
+                                     jnp.zeros(ir.shape, jnp.float32))
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
@@ -71,9 +73,13 @@ def main(argv=None) -> float:
             variables["batch_stats"] = restore_partial(variables["batch_stats"],
                                                        sd["batch_stats"])
 
+    from ..eval.validate import _device_normalize
+
     @jax.jit
     def forward(rgb, ir):
-        seg, _, _ = model.apply(variables, rgb, ir, train=False)
+        # loader ships raw uint8/uint16; normalization is fused on device
+        seg, _, _ = model.apply(variables, _device_normalize(rgb),
+                                _device_normalize(ir), train=False)
         return jnp.argmax(seg, axis=-1)
 
     forward(rgb, ir).block_until_ready()  # compile

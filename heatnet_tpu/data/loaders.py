@@ -217,18 +217,18 @@ class FreiburgThermalTestDataset:
         label = _resize(np.load(self.label_files[index]), IR_RES, nearest=True)
 
         rgb = rgb[:, 148:852]
-        ir = ir[:, 148:852].astype(np.float32)
+        ir = ir[:, 148:852]
         label = label[:, 148:852]
 
-        ir = np.clip(ir, 21800, 25000)
-        ir = (ir - 21800) / (25000 - 21800)
-        rgb_f = rgb.astype(np.float32) / 255.0
-
+        # raw sensor dtypes; radiometric clamp + normalization run on device
+        # (ops.pallas_preproc fused kernels) — 4x/2x less H2D traffic than
+        # shipping host-normalized float32
+        ir_vis = (np.clip(ir.astype(np.float32), 21800, 25000) - 21800) / 3200.0
         return {
-            "rgb": ((rgb_f - 0.5) / 0.5)[None],
-            "rgb_org": rgb_f[None],
-            "ir": ((ir - 0.5) / 0.5)[None, ..., None],
-            "ir_org": ir[None, ..., None],
+            "rgb": rgb.astype(np.uint8)[None],
+            "rgb_org": rgb.astype(np.uint8)[None],
+            "ir": ir.astype(np.uint16)[None, ..., None],
+            "ir_org": ir_vis[None, ..., None],
             "label": label.astype(np.int32)[None],
         }
 
@@ -250,15 +250,13 @@ class FreiburgInferDataset:
         # decoder's skip concat at stride 8 (latent defect — its eval
         # loaders use 148:852 → 704); use the stride-aligned 704 window
         rgb = _resize(_imread_rgb(rgb_file), IR_RES)[:, 148:852]
-        ir = _resize(_imread_ir16(ir_file), IR_RES)[:, 148:852].astype(np.float32)
-        ir = np.clip(ir, 21800, 25000)
-        ir = (ir - 21800) / (25000 - 21800)
-        rgb_f = rgb.astype(np.float32) / 255.0
+        ir = _resize(_imread_ir16(ir_file), IR_RES)[:, 148:852]
+        ir_vis = (np.clip(ir.astype(np.float32), 21800, 25000) - 21800) / 3200.0
         return {
-            "rgb": ((rgb_f - 0.5) / 0.5)[None],
-            "rgb_org": rgb_f[None],
-            "ir": ((ir - 0.5) / 0.5)[None, ..., None],
-            "ir_org": ir[None, ..., None],
+            "rgb": rgb.astype(np.uint8)[None],
+            "rgb_org": rgb.astype(np.uint8)[None],
+            "ir": ir.astype(np.uint16)[None, ..., None],
+            "ir_org": ir_vis[None, ..., None],
         }
 
 

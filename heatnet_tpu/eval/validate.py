@@ -49,13 +49,33 @@ def _pack_inputs(batch: Dict[str, Any], modalities: str):
     return ins
 
 
+def _device_normalize(x: jax.Array) -> jax.Array:
+    """Raw sensor dtypes → normalized floats, on device.
+
+    Eval loaders ship uint8 RGB / uint16 radiometric IR (4x/2x less H2D
+    traffic than host-normalized f32); clamp+scale+normalize happen here in
+    plain jnp so XLA fuses them into the network's first conv — measured
+    faster than the Pallas fused-ingest kernels, which are opaque custom
+    calls XLA can't fuse through (bench.py module docstring). Float inputs
+    (already host-normalized, e.g. MFNet 4-ch PNGs) pass through.
+    """
+    from ..ops.preprocess import ir_normalize, normalize
+
+    if x.dtype == jnp.uint8:
+        return normalize(x.astype(jnp.float32) / 255.0)
+    if x.dtype == jnp.uint16:
+        return normalize(ir_normalize(x), mean=(0.5,), std=(0.5,))
+    return x
+
+
 def _forward_factory(model, variables, modalities: str, pred_lut=None):
     """Jitted forward → (argmax prediction, iou count triple)."""
     lut = None if pred_lut is None else jnp.asarray(pred_lut)
 
     @jax.jit
     def forward(batch):
-        ins = [jnp.asarray(x) for x in _pack_inputs(batch, modalities)]
+        ins = [_device_normalize(jnp.asarray(x))
+               for x in _pack_inputs(batch, modalities)]
         if len(ins) == 2:
             seg, _, _ = model.apply(variables, ins[0], ins[1], train=False)
         else:
@@ -171,7 +191,8 @@ def inference(model, variables, loader, modalities: str,
 
     @jax.jit
     def forward(batch):
-        ins = [jnp.asarray(x) for x in _pack_inputs(batch, modalities)]
+        ins = [_device_normalize(jnp.asarray(x))
+               for x in _pack_inputs(batch, modalities)]
         seg, _, _ = model.apply(variables, ins[0],
                                 ins[1] if len(ins) == 2 else None, train=False)
         return jnp.argmax(seg, axis=-1)

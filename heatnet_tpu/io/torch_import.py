@@ -35,11 +35,16 @@ _BN_STATS = {"running_mean": "mean", "running_var": "var"}
 
 
 def _rename_path(parts) -> list:
+    if parts and parts[0] == "blocks":
+        # DenseNet registers every block twice: in the ModuleList ``blocks``
+        # AND as denseblockN/transitionN attributes (extractors.py:274-292);
+        # keep only the named aliases.
+        return []
     out = []
     for p in parts:
         prev = out[-1] if out else ""
-        if p == "convs":
-            continue  # Sequential container flattened in our modules
+        if p in ("convs", "start_features"):
+            continue  # Sequential containers flattened in our modules
         if p == "conv1_2" and prev.startswith("mod1"):
             # trgb initBlock names its first pair conv1_2/bn1_2
             # (trgb_segnet.py:230-239); covers both stems mod1 and mod1_2.
@@ -71,6 +76,22 @@ def _rename_path(parts) -> list:
                 p = ("conv", "bn", "prelu")[d]
             elif prev == "final":
                 continue  # final = Sequential(Conv2d) (pspnet.py:57-59)
+            elif prev in ("norm", "conv", "relu"):
+                # DenseNet _DenseLayer's dotted names norm.1/conv.2
+                # (extractors.py:208-217) → norm1/conv2
+                out[-1] = prev + p
+                continue
+            elif prev.startswith("feat_"):
+                # SqueezeNet Sequentials (extractors.py:334-351):
+                # feat_1.0=conv; feat_2/3.{1,2}=Fire (0=pool); feat_4.{0-3}=Fire
+                n = prev[-1]
+                out.pop()
+                if n == "1":
+                    p = "feat1_conv"
+                elif n == "4":
+                    p = f"feat4_fire{d + 1}"
+                else:
+                    p = f"feat{n}_fire{d}"
         out.append(p)
     return out
 

@@ -77,15 +77,29 @@ class ABN(nn.Module):
 
 
 class GroupedConvDense(nn.Module):
-    """Grouped conv computed as a DENSE conv with a block-diagonal kernel.
+    """Grouped conv: block-diagonal dense kernel below 16 channels/group,
+    XLA's native grouped path at or above.
 
-    TPU performance core: XLA maps ``feature_group_count=64`` convs onto the
-    MXU with 2-16-channel contractions — measured 2.8x slower than dense at
-    ResNeXt-50 scale (88 → 32 ms/batch for the full model, batch 8, v5e).
-    Expanding the grouped kernel into a block-diagonal dense kernel wastes
-    ``groups``x FLOPs on structural zeros but runs at dense MXU throughput —
-    identical math, identical (grouped) parameter layout, so torch
-    checkpoints import unchanged.
+    TPU performance core. XLA maps ``feature_group_count=64`` convs onto the
+    MXU with tiny per-group contractions; expanding the grouped kernel into
+    a block-diagonal dense kernel wastes ``groups``x FLOPs on structural
+    zeros but runs at dense MXU throughput. Which wins depends on channels
+    per group — measured per grouped 3x3 conv, ResNeXt-50 trgb stages,
+    batch 8 bf16, v5e (tools/bench_grouped_conv.py):
+
+    ========== ========= ======== ========== ==========
+    stage      ch/group  dense    native     im2col-mm
+    ========== ========= ======== ========== ==========
+    mod2       2         2.08 ms  5.56 ms    8.02 ms
+    mod3       4         2.58 ms  2.68 ms    4.44 ms
+    mod4 (d2)  8         3.20 ms  5.32 ms    8.00 ms
+    mod5 (d4)  16        11.25 ms **4.66 ms** 5.82 ms
+    ========== ========= ======== ========== ==========
+
+    The dispatch is trace-time (static shapes) and both paths share the
+    grouped parameter layout (kh, kw, cin/g, features), so torch checkpoints
+    import unchanged and the choice never affects numerics beyond bf16
+    accumulation order.
     """
 
     features: int
@@ -97,25 +111,37 @@ class GroupedConvDense(nn.Module):
     dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
 
+    dense_below: int = 16  # ch/group threshold: dense < 16 <= native
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
         g = self.groups
         cin = x.shape[-1]
         cin_pg, out_pg = cin // g, self.features // g
         kern = self.param(
             "kernel", self.kernel_init,
             (self.kernel, self.kernel, cin_pg, self.features), jnp.float32)
-        k5 = kern.astype(self.dtype).reshape(
-            self.kernel, self.kernel, cin_pg, g, out_pg)
-        eye = jnp.eye(g, dtype=self.dtype)
-        dense = jnp.einsum("hkcgo,Gg->hkGcgo", k5, eye).reshape(
-            self.kernel, self.kernel, cin, self.features)
         pad = ((self.padding, self.padding),) * 2
+
+        use_native = (cin_pg >= self.dense_below
+                      or os.environ.get("HEATNET_NATIVE_GROUPS", "0") == "1")
+        if use_native:
+            rhs, fgc = kern.astype(self.dtype), g
+        else:
+            k5 = kern.astype(self.dtype).reshape(
+                self.kernel, self.kernel, cin_pg, g, out_pg)
+            eye = jnp.eye(g, dtype=self.dtype)
+            rhs = jnp.einsum("hkcgo,Gg->hkGcgo", k5, eye).reshape(
+                self.kernel, self.kernel, cin, self.features)
+            fgc = 1
         return jax.lax.conv_general_dilated(
-            x.astype(self.dtype), dense,
+            x.astype(self.dtype), rhs,
             window_strides=(self.stride, self.stride),
             padding=pad,
             rhs_dilation=(self.dilation, self.dilation),
+            feature_group_count=fgc,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
@@ -134,15 +160,15 @@ def conv(
 ):
     """2D conv with torch-style explicit integer padding (NHWC).
 
-    Grouped convs route through :class:`GroupedConvDense` (block-diagonal
-    dense compute — see its docstring) unless ``HEATNET_NATIVE_GROUPS=1``.
+    Grouped convs route through :class:`GroupedConvDense`, which picks
+    block-diagonal-dense vs native-grouped per layer by channels/group
+    (see its measured table); ``HEATNET_NATIVE_GROUPS=1`` forces native.
     """
     if padding is None:
         # torch default in these models: padding = dilation for 3x3, 0 for 1x1
         padding = dilation if kernel == 3 else 0
-    import os
 
-    if groups > 1 and os.environ.get("HEATNET_NATIVE_GROUPS", "0") != "1":
+    if groups > 1:
         return GroupedConvDense(
             features=features, kernel=kernel, stride=stride,
             dilation=dilation, groups=groups, padding=padding,

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .extractors import feature_channels, make_resnet
+from .extractors import feature_channels, make_extractor
 from .layers import adaptive_avg_pool, conv, resize_bilinear
 
 
@@ -81,9 +81,9 @@ class PSPNet(nn.Module):
     @nn.compact
     def __call__(self, modal_1: jax.Array, modal_2: Optional[jax.Array] = None,
                  train: bool = False):
-        feats = make_resnet(self.backend, late_fusion=self.late_fusion,
-                            in_channels=self.in_channels, dtype=self.dtype,
-                            name="feats")(modal_1, modal_2, train)
+        feats = make_extractor(self.backend, late_fusion=self.late_fusion,
+                               in_channels=self.in_channels, dtype=self.dtype,
+                               name="feats")(modal_1, modal_2, train)
         p = PSPModule(1024, self.sizes, dtype=self.dtype, name="psp")(feats[0])
         drop1 = nn.Dropout(rate=0.3, broadcast_dims=(1, 2), deterministic=not train)
         drop2 = nn.Dropout(rate=0.15, broadcast_dims=(1, 2), deterministic=not train)

@@ -19,20 +19,29 @@ from .rtfnet import RTFNet
 from .trgb_segnet import ResNeXtSeg, net_resnext50, net_resnext101, net_resnext152
 from .unet import UNetAdapter, UNetSeg
 
-_PSP_BACKENDS = (
-    "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
-)
+_PSP_BACKENDS = {
+    # psp_size per backend (build_net.py:7-16)
+    "squeezenet": 512,
+    "densenet": 1024,
+    "resnet18": 512,
+    "resnet34": 512,
+    "resnet50": 2048,
+    "resnet101": 2048,
+    "resnet152": 2048,
+}
 
 
 def build_network(backend: str = "resnet50", n_classes: int = 13,
                   in_channels: int = 3, late_fusion: bool = False,
                   dtype: Any = jnp.float32) -> PSPNet:
-    """PSPNet factory (build_net.py:7-28; snapshot loading is external)."""
+    """PSPNet factory, all 7 reference backends (build_net.py:7-28;
+    snapshot loading is external)."""
+    backend = backend.lower()
     if backend not in _PSP_BACKENDS:
         raise KeyError(f"unknown PSPNet backend {backend}")
-    psp_size = 2048 if backend in ("resnet50", "resnet101", "resnet152") else 512
-    return PSPNet(n_classes=n_classes, psp_size=psp_size, backend=backend,
-                  in_channels=in_channels, late_fusion=late_fusion, dtype=dtype)
+    return PSPNet(n_classes=n_classes, psp_size=_PSP_BACKENDS[backend],
+                  backend=backend, in_channels=in_channels,
+                  late_fusion=late_fusion, dtype=dtype)
 
 
 MODELS: Dict[str, Callable] = {

@@ -11,9 +11,19 @@ The hot ingest ops of the inference pipeline (BASELINE.json north star:
 
 Kernels view the image as (rows, 128)-lane tiles (NHWC arrays here always
 have 128-divisible pixel counts: 320·960·C). A ``pl.pallas_call`` grid
-streams row-blocks HBM→VMEM→HBM with elementwise VPU math — one read + one
-write per pixel instead of the multiple materializations of the op-by-op
-chain. Interpret mode keeps the kernels testable on CPU.
+streams row-blocks HBM→VMEM→HBM with elementwise VPU math. Interpret mode
+keeps the kernels testable on CPU.
+
+**Measured verdict (v5e, bench.py)**: standalone these kernels run at HBM
+speed (~0.03 ms for a batch-8 960x320 frame pair), but INSIDE the full
+inference graph they are a net loss — 139.5 fps vs 162.1 fps at batch 8 —
+because ``pallas_call`` is an opaque custom call XLA cannot fuse through,
+so the normalized full-width tensor materializes in HBM instead of fusing
+into the stem conv. The production ingest path therefore ships raw
+uint8/uint16 to device and normalizes with plain jnp ops
+(eval.validate._device_normalize); these kernels remain for standalone
+host-offload use (e.g. normalizing frames outside a jit graph) and as the
+template for kernels XLA genuinely can't fuse.
 """
 
 from __future__ import annotations
@@ -48,14 +58,15 @@ def _from_rows(y: jax.Array, shape: Tuple[int, ...], n: int) -> jax.Array:
 
 
 def _ir_kernel(ir_ref, out_ref):
-    x = ir_ref[:].astype(jnp.float32)
+    # Mosaic can't lower uint16->f32 directly; hop through int32
+    x = ir_ref[:].astype(jnp.int32).astype(jnp.float32)
     x = jnp.clip(x, IR_MINVAL, IR_MAXVAL)
     x = (x - IR_MINVAL) / (IR_MAXVAL - IR_MINVAL)  # [0, 1]
     out_ref[:] = ((x - 0.5) / 0.5).astype(out_ref.dtype)  # [-1, 1]
 
 
 def _rgb_kernel(rgb_ref, out_ref):
-    x = rgb_ref[:].astype(jnp.float32) * (1.0 / 255.0)
+    x = rgb_ref[:].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     out_ref[:] = ((x - 0.5) / 0.5).astype(out_ref.dtype)
 
 

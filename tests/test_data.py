@@ -79,7 +79,17 @@ def test_freiburg_test_dataset(freiburg_test):
     assert item["rgb"].shape == (1, 320, 704, 3)
     assert item["ir"].shape == (1, 320, 704, 1)
     assert item["label"].shape == (1, 320, 704)
-    assert -1.0 <= item["ir"].min() and item["ir"].max() <= 1.0
+    # raw sensor dtypes: normalization is fused on device
+    # (eval.validate._device_normalize)
+    assert item["rgb"].dtype == np.uint8
+    assert item["ir"].dtype == np.uint16
+    import jax.numpy as jnp
+
+    from heatnet_tpu.eval.validate import _device_normalize
+    ir_n = np.asarray(_device_normalize(jnp.asarray(item["ir"])))
+    rgb_n = np.asarray(_device_normalize(jnp.asarray(item["rgb"])))
+    assert -1.0 <= ir_n.min() and ir_n.max() <= 1.0
+    assert -1.0 <= rgb_n.min() and rgb_n.max() <= 1.0
 
 
 def test_test_stamps_and_filter(freiburg_test, freiburg_train):

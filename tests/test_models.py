@@ -190,6 +190,38 @@ def test_registry():
         get_model("nope")
 
 
+def test_pspnet_densenet_backend():
+    m = PSPNet(backend="densenet", psp_size=1024)
+    (out, taps, _), _ = init_and_apply(m, jnp.zeros((1, 64, 64, 3)), None)
+    assert out.shape == (1, 64, 64, 13)
+    assert [t.shape[-1] for t in taps] == [13, 1024, 512, 256, 256, 64]
+
+
+def test_pspnet_squeezenet_backend():
+    m = PSPNet(backend="squeezenet", psp_size=512)
+    (out, taps, _), _ = init_and_apply(m, jnp.zeros((1, 64, 64, 3)), None)
+    assert out.shape == (1, 64, 64, 13)
+    assert [t.shape[-1] for t in taps] == [13, 512, 256, 128, 64, 64]
+
+
+def test_build_network_all_seven_backends():
+    """build_net.py:7-16 backend/psp_size parity."""
+    from heatnet_tpu.models.registry import _PSP_BACKENDS, build_network
+
+    assert set(_PSP_BACKENDS) == {
+        "squeezenet", "densenet", "resnet18", "resnet34", "resnet50",
+        "resnet101", "resnet152"}
+    for backend in ("squeezenet", "densenet", "resnet34"):
+        m = build_network(backend)
+        assert isinstance(m, PSPNet) and m.backend == backend
+    assert build_network("DENSENET").psp_size == 1024  # .lower() parity
+    with pytest.raises(KeyError):
+        build_network("vgg16")
+    with pytest.raises(ValueError):
+        init_and_apply(build_network("densenet", late_fusion=True),
+                       jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1)))
+
+
 def test_bf16_compute_f32_logits():
     m = ResNeXtSeg(structure=TINY, dtype=jnp.bfloat16)
     rgb, ir = jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1))

@@ -291,6 +291,44 @@ def test_pspnet_forward_parity(backend, psp_size, late_fusion):
 
 
 @pytest.mark.slow
+def test_squeezenet_extractor_forward_parity():
+    """SqueezeNet extractor vs the torch reference (extractors.py:330-360).
+
+    Only the extractor is comparable: the reference returns (f4, f3) and
+    its own PSPNet forward then indexes 5 taps, so the full reference
+    PSPNet-squeezenet stack crashes (reference defect). We assert our
+    taps[0]/taps[1] match the reference f4/f3.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.models.extractors import SqueezeNetExtractor
+    from heatnet_tpu.train.state import init_model
+
+    _ref_pspnet()  # registers the "models" package + torchvision stub
+    ext = importlib.import_module("models.extractors")
+    torch.manual_seed(0)
+    model_t = ext.SqueezeNet(pretrained=False).eval()
+
+    model_j = SqueezeNetExtractor(dtype=jnp.float32)
+    img = np.random.RandomState(8).rand(2, 64, 128, 3).astype(np.float32)
+    params, batch_stats = init_model(model_j, jax.random.PRNGKey(0),
+                                     jnp.asarray(img),
+                                     init_kwargs={"train": True})
+    assert batch_stats is None or not batch_stats  # squeezenet has no BN
+    params, _ = _convert_full(model_t, params, None)
+
+    with torch.no_grad():
+        f4_t, f3_t = model_t(_nchw(img))
+
+    taps = model_j.apply({"params": params}, jnp.asarray(img), train=False)
+    np.testing.assert_allclose(np.asarray(taps[0]), _to_nhwc(f4_t),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(taps[1]), _to_nhwc(f3_t),
+                               rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_trgb_segnet_resnext50_full_depth_parity():
     """Full ResNeXt-50 stack at a small eval shape (the flagship config)."""
     import jax.numpy as jnp
