@@ -17,8 +17,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="HeatNet-TPU inference")
     p.add_argument("--arch", "-a", default="resnext50")
     p.add_argument("--resume", default="", type=str, help="checkpoint to load")
-    p.add_argument("--data", required=True,
+    p.add_argument("--data", default="",
                    help="inference dir (fl_rgb/ + fl_ir_aligned/)")
+    p.add_argument("--borders-data", default="", type=str,
+                   help="vistas-borders paths.txt (scripts/inference.py:97 mode)")
+    p.add_argument("--width", default=768, type=int,
+                   help="borders mode width (scripts/inference.py:92)")
+    p.add_argument("--height", default=384, type=int)
     p.add_argument("--modalities", default="ir_rgb")
     p.add_argument("--im-save-dir", default="", type=str)
     p.add_argument("--iters", default=10, type=int, help="timing iterations")
@@ -27,8 +32,75 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _borders_main(args) -> float:
+    """Vistas-borders inference: the reference scripts/inference.py:91-143
+    path (768x384 frames, RGB-only Vistas segnet, color-coded dumps)."""
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.cache import enable_compilation_cache
+    from ..data.loaders import VistasBordersDataset
+    from ..io.checkpoint import load_checkpoint, restore_partial
+    from ..models import ResNeXtSeg
+    from ..train.state import init_model
+    from ..utils.vis import color_code_labels, save_image
+
+    enable_compilation_cache()
+    ds = VistasBordersDataset(args.borders_data, args.width, args.height,
+                              contrast_enhancement=False, augment_data=False)
+    model = ResNeXtSeg(structure=tuple(args.structure), input_channels=3,
+                       classes=args.classes, input_3x3=False,
+                       dtype=jnp.bfloat16)
+    first = ds[0]
+    img = jnp.asarray(first["image"][None])
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                     jnp.zeros(img.shape, jnp.float32))
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    if args.resume:
+        saved = load_checkpoint(args.resume)
+        sd = saved.get("state_dict", saved)
+        variables["params"] = restore_partial(variables["params"], sd["params"])
+
+    @jax.jit
+    def forward(x):
+        seg, _, _ = model.apply(variables, x, train=False)
+        return jnp.argmax(seg, axis=-1)
+
+    forward(img).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        pred = forward(img)
+    pred.block_until_ready()
+    dt = (time.perf_counter() - t0) / args.iters
+    print("Network took %f seconds" % dt)
+
+    if args.im_save_dir:
+        os.makedirs(args.im_save_dir, exist_ok=True)
+    for i in range(len(ds)):
+        item = ds[i]
+        pred = np.asarray(forward(jnp.asarray(item["image"][None])))[0]
+        if args.im_save_dir:
+            save_image(os.path.join(args.im_save_dir, f"pred_{i}.png"),
+                       color_code_labels(pred))
+            save_image(os.path.join(args.im_save_dir, f"gt_{i}.png"),
+                       color_code_labels(item["ids"]))
+            save_image(os.path.join(args.im_save_dir, f"rgb_{i}.png"),
+                       item["image_org"])
+    return dt
+
+
 def main(argv=None) -> float:
     args = build_parser().parse_args(argv)
+    if args.borders_data:
+        return _borders_main(args)
+    if not args.data:
+        raise SystemExit("one of --data / --borders-data is required")
 
     import jax
     import jax.numpy as jnp

@@ -26,11 +26,12 @@ prefetch.
 
 from __future__ import annotations
 
+import fnmatch
 import os
 import queue
 import threading
 from glob import glob
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -486,6 +487,205 @@ def resize_and_pad(img: np.ndarray, size: Tuple[int, int], pad_color=11,
                               borderType=cv2.BORDER_CONSTANT, value=pad_color)
 
 
+def apply_clahe(image_bgr: np.ndarray, clip_limit: float = 2.0,
+                grid: int = 8) -> np.ndarray:
+    """CLAHE on the LAB L-plane, returning RGB.
+
+    Reference ``vistas_dataset.py:95-104`` / ``thermal_loader.py:12-20``:
+    clipLimit 2.0, 8x8 tiles; the LAB→RGB conversion doubles as the
+    BGR→RGB swap the non-CLAHE branch does explicitly.
+    """
+    clahe = cv2.createCLAHE(clipLimit=clip_limit, tileGridSize=(grid, grid))
+    lab = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2LAB)
+    planes = list(cv2.split(lab))
+    planes[0] = clahe.apply(planes[0])
+    return cv2.cvtColor(cv2.merge(planes), cv2.COLOR_LAB2RGB)
+
+
+class ThermalDriveDataset:
+    """Raw-dump drive loader (``data/thermal_loader.py:46-152``).
+
+    Walks ``db_path`` for ``{fl,fr}_{rgb,ir}_drive_*.txt`` path lists; each
+    line is a burst of space-separated frame paths. Items are dicts of
+    lists: ``rgb_fl``/``rgb_fr`` (HWC float RGB in [0,1]), ``ir_fl``/
+    ``ir_fr`` (HW1 float raw counts), ``paths_left``, ``org_left`` (BGR
+    uint8, as the reference keeps it). Options mirror the reference:
+    ``contrast_enhancement`` (CLAHE), ``load_aligned_ir`` (remap fl_ir →
+    fl_ir_aligned paths), ``load_right``.
+    """
+
+    def __init__(self, db_path: str, contrast_enhancement: bool = False,
+                 load_aligned_ir: bool = False, load_right: bool = True):
+        self.contrast_enhancement = contrast_enhancement
+        self.load_aligned_ir = load_aligned_ir
+        self.load_right = load_right
+
+        def find(pattern):
+            out = []
+            for root, _dirs, files in os.walk(db_path):
+                out.extend(os.path.join(root, f) for f in files
+                           if fnmatch.fnmatch(f, pattern))
+            return sorted(out)
+
+        lists = [find(f"{side}_{mod}_drive_*.txt")
+                 for side, mod in (("fl", "rgb"), ("fr", "rgb"),
+                                   ("fl", "ir"), ("fr", "ir"))]
+        assert len({len(l) for l in lists}) == 1, \
+            "mismatched drive list counts"
+
+        def read_lines(path):
+            with open(path) as f:
+                return [x.strip() for x in f.readlines()]
+
+        self.items = []
+        for files in zip(*lists):
+            for lines in zip(*(read_lines(f) for f in files)):
+                self.items.append([line.split(" ") for line in lines])
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        paths = [list(p) for p in self.items[index]]
+        rgb_fl = [cv2.imread(p) for p in paths[0]]
+        rgb_fr = [cv2.imread(p) for p in paths[1]] if self.load_right else None
+
+        if self.contrast_enhancement:
+            rgb_fl = [apply_clahe(im) for im in rgb_fl]
+            if self.load_right:
+                rgb_fr = [apply_clahe(im) for im in rgb_fr]
+        org_left = rgb_fl[0]
+
+        if self.load_aligned_ir:
+            for i, p in enumerate(paths[2]):
+                name = os.path.split(p)[1].replace("fl_ir", "fl_ir_aligned")
+                paths[2][i] = os.path.join(
+                    os.path.split(os.path.split(p)[0])[0], "fl_ir_aligned", name)
+
+        ir_fl = [cv2.imread(p, cv2.IMREAD_ANYDEPTH) for p in paths[2]
+                 if os.path.isfile(p)]
+        ir_fr = [cv2.imread(p, cv2.IMREAD_ANYDEPTH) for p in paths[3]
+                 if os.path.isfile(p)] if self.load_right else []
+
+        def to_rgb_float(ims):
+            out = []
+            for im in ims:
+                if not self.contrast_enhancement:  # CLAHE already emits RGB
+                    im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+                out.append(im.astype(np.float32) / 255.0)
+            return out
+
+        return {
+            "rgb_fl": to_rgb_float(rgb_fl),
+            "rgb_fr": to_rgb_float(rgb_fr) if self.load_right else None,
+            "ir_fl": [im.astype(np.float32)[..., None] for im in ir_fl],
+            "ir_fr": [im.astype(np.float32)[..., None] for im in ir_fr],
+            "paths_left": paths[0],
+            "org_left": org_left,
+        }
+
+
+class VistasBordersDataset:
+    """Borders/instances/distance-transform Vistas loader
+    (``data/vistas_borders_dataset.py:38-170``).
+
+    Input is a ``paths.txt`` where each line holds 4 space-separated paths:
+    borders png (uint8 0/1), trainIds png (uint16 class*256+instance),
+    image, distance-transform png. Items carry the reference's 8-tuple as a
+    dict: ``borders, ids, inst, image, borders_clip, image_org, dt_borders,
+    dt`` — ``dt_borders`` is the L2 distance transform of (1 - borders)
+    computed at load time (:148), ``borders_clip`` = clip(borders, 0, 1).
+    Augmentation: random crop to (height, width), hflip p.5, color jitter
+    (0.2, 0.2, 0.2, hue 0). CLAHE defaults ON (:37).
+    """
+
+    MEAN = (0.28389175985075144, 0.32513300997108185, 0.28689552631651594)
+    STD = (0.1777223070810445, 0.18099167120139084, 0.17613640748441522)
+
+    def __init__(self, paths_file: str, width: int, height: int,
+                 contrast_enhancement: bool = True, augment_data: bool = True,
+                 sub_mean: bool = True, seed: int = 0):
+        self.width, self.height = width, height
+        self.contrast_enhancement = contrast_enhancement
+        self.augment_data = augment_data
+        self.sub_mean = sub_mean
+        self._rng = np.random.RandomState(seed)
+        with open(paths_file) as f:
+            lines = [x.strip() for x in f.readlines() if x.strip()]
+        self.items = [tuple(line.split(" ")[:4]) for line in lines]
+        if not self.items:
+            raise FileNotFoundError(f"no entries in {paths_file}")
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        borders_p, ids_p, image_p, dt_p = self.items[index]
+        borders = cv2.imread(borders_p, 0)
+        dt = cv2.imread(dt_p, 0)
+        raw_ids = cv2.imread(ids_p, -1)
+        inst = (raw_ids % 256).astype(np.uint8)
+        ids = (raw_ids // 256).astype(np.uint8)
+        image = cv2.imread(image_p)
+
+        if not (image.shape[0] >= self.height and image.shape[1] >= self.width):
+            borders = resize_and_pad(borders, (self.height, borders.shape[1]),
+                                     pad_color=2, nearest=True)
+            dt = resize_and_pad(dt, (self.height, dt.shape[1]),
+                                pad_color=2, nearest=True)
+            ids = resize_and_pad(ids, (self.height, ids.shape[1]),
+                                 pad_color=11, nearest=True)
+            inst = resize_and_pad(inst, (self.height, inst.shape[1]),
+                                  pad_color=11, nearest=True)
+            image = resize_and_pad(image, (self.height, image.shape[1]),
+                                   pad_color=0)
+
+        if self.contrast_enhancement:
+            image = apply_clahe(image)
+        else:
+            image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+
+        rng = self._rng
+        if self.augment_data:
+            i = rng.randint(0, image.shape[0] - self.height + 1)
+            j = rng.randint(0, image.shape[1] - self.width + 1)
+            sl = np.s_[i:i + self.height, j:j + self.width]
+            image, borders, dt = image[sl], borders[sl], dt[sl]
+            ids, inst = ids[sl], inst[sl]
+            if rng.rand() > 0.5:
+                image, borders, dt = image[:, ::-1], borders[:, ::-1], dt[:, ::-1]
+                ids, inst = ids[:, ::-1], inst[:, ::-1]
+            if rng.rand() > 0.4:
+                img = image.astype(np.float32)
+                img = img * rng.uniform(0.8, 1.2)
+                mean = img.mean()
+                img = (img - mean) * rng.uniform(0.8, 1.2) + mean
+                gray = img.mean(axis=2, keepdims=True)
+                img = (img - gray) * rng.uniform(0.8, 1.2) + gray
+                image = np.clip(img, 0, 255).astype(np.uint8)
+
+        borders = np.ascontiguousarray(borders)
+        dt_borders = cv2.distanceTransform(
+            (1 - borders).astype(np.uint8), cv2.DIST_L2, 5)
+
+        img_f = np.ascontiguousarray(image).astype(np.float32) / 255.0
+        image_org = img_f.copy()
+        if self.sub_mean:
+            img_f = (img_f - np.array(self.MEAN, np.float32)) / np.array(
+                self.STD, np.float32)
+
+        return {
+            "borders": borders.astype(np.int32),
+            "ids": np.ascontiguousarray(ids).astype(np.int32),
+            "inst": np.ascontiguousarray(inst).astype(np.int32),
+            "image": img_f,
+            "borders_clip": np.clip(borders, 0, 1).astype(np.int32),
+            "image_org": image_org,
+            "dt_borders": dt_borders.astype(np.float32),
+            "dt": np.ascontiguousarray(dt).astype(np.float32),
+        }
+
+
 class VistasDataset:
     """Relabelled-Vistas segmentation loader (VistasBorderDataLoader,
     data/vistas_dataset.py:38-159).
@@ -502,11 +702,13 @@ class VistasDataset:
 
     def __init__(self, db_path: str, width: int, height: int,
                  augment_data: bool = True, sub_mean: bool = True,
-                 background_id: int = 12, seed: int = 0):
+                 background_id: int = 12, contrast_enhancement: bool = False,
+                 seed: int = 0):
         self.width, self.height = width, height
         self.augment_data = augment_data
         self.sub_mean = sub_mean
         self.background_id = background_id
+        self.contrast_enhancement = contrast_enhancement
         self._rng = np.random.RandomState(seed)
 
         label_files = sorted(glob(os.path.join(db_path, "labels/*.png")))
@@ -556,7 +758,11 @@ class VistasDataset:
             image = resize_and_pad(image, (self.height, image.shape[1]),
                                    pad_color=0)
 
-        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        if self.contrast_enhancement:
+            # CLAHE on LAB L-plane (vistas_dataset.py:95-104)
+            image = apply_clahe(image)
+        else:
+            image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
 
         if not self.augment_data:
             image = _resize(image, (self.width, self.height))

@@ -128,9 +128,33 @@ def relabel_vistas_image(img_u16: np.ndarray, mapping: dict = VISTAS_TO_HEATNET)
     return out.astype(np.uint16)
 
 
+# fixed semantic palette of the reference ColorCode.get_coding_1
+# (models/confusion_maximization/vis_utils.py:26-41, RGB order — the
+# reference flips to BGR only for cv2.imshow); classes 12/13 are black
+HEATNET_PALETTE = np.array([
+    [70, 70, 70],      # 0 road,parking
+    [244, 35, 232],    # 1 ground,sidewalk
+    [128, 64, 128],    # 2 building
+    [168, 168, 168],   # 3 curb
+    [0, 255, 255],     # 4 fence
+    [255, 165, 0],     # 5 pole,traffic light,traffic sign
+    [107, 142, 35],    # 6 vegetation
+    [255, 255, 0],     # 7 terrain
+    [70, 130, 180],    # 8 sky
+    [220, 20, 60],     # 9 person,rider
+    [0, 255, 0],       # 10 car,truck,bus,train
+    [190, 153, 153],   # 11 motorcycle,bicycle
+    [0, 0, 0],         # 12 background
+    [0, 0, 0],         # 13 ignore
+], dtype=np.uint8)
+
+
 def color_palette(n: int = 256, seed: int = 0) -> np.ndarray:
-    """Deterministic RGB palette for visualization (vis_utils ColorCode)."""
+    """RGB palette: the reference's fixed semantic colors for classes 0-13
+    (vis_utils.py:26-41) so rendered outputs are visually comparable;
+    deterministic random for any ids beyond."""
     rng = np.random.RandomState(seed)
     pal = rng.randint(0, 255, size=(n, 3)).astype(np.uint8)
-    pal[BACKGROUND_CLASS] = (0, 0, 0)
+    k = min(n, len(HEATNET_PALETTE))
+    pal[:k] = HEATNET_PALETTE[:k]
     return pal

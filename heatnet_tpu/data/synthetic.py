@@ -168,3 +168,68 @@ def make_kaist(root: str, n_day: int = 3, n_night: int = 3,
         _write_png(os.path.join(base, "lwir", f"I{i:05d}.jpg"),
                    rng.randint(0, 100, (h, w)).astype(np.uint8))
     return root
+
+
+def make_drive_dump(root: str, n_drives: int = 2, n_bursts: int = 2,
+                    burst: int = 2, hw: Tuple[int, int] = (48, 64),
+                    seed: int = 7) -> str:
+    """Raw-dump drive layout for ThermalDriveDataset
+    (data/thermal_loader.py:46-152): per-drive ``{fl,fr}_{rgb,ir}`` frame
+    dirs plus ``*_drive_*.txt`` lists of space-separated burst paths; also
+    fl_ir_aligned/ siblings for the load_aligned_ir remap."""
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    for d in range(n_drives):
+        base = os.path.join(root, f"drive_{d:02d}")
+        lists = {k: [] for k in ("fl_rgb", "fr_rgb", "fl_ir", "fr_ir")}
+        for b in range(n_bursts):
+            for k in lists:
+                paths = []
+                for j in range(burst):
+                    name = f"{k}_{d}{b}{j:07d}.png"
+                    p = os.path.join(base, k, name)
+                    if "rgb" in k:
+                        _write_png(p, rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+                    else:
+                        _write_png(p, rng.randint(21000, 26000, (h, w)).astype(np.uint16))
+                    paths.append(p)
+                lists[k].append(" ".join(paths))
+            # aligned sibling for fl_ir
+            for j in range(burst):
+                name = f"fl_ir_aligned_{d}{b}{j:07d}.png"
+                _write_png(os.path.join(base, "fl_ir_aligned", name),
+                           rng.randint(21000, 26000, (h, w)).astype(np.uint16))
+        for k, lines in lists.items():
+            with open(os.path.join(base, f"{k}_drive_{d:02d}.txt"), "w") as f:
+                f.write("\n".join(lines))
+    return root
+
+
+def make_vistas_borders(root: str, n: int = 3, hw: Tuple[int, int] = (64, 96),
+                        seed: int = 8) -> str:
+    """Borders-augmented Vistas layout for VistasBordersDataset
+    (data/vistas_borders_dataset.py:55-66): a paths.txt with 4 paths per
+    line — borders, trainIds (class*256+instance), image, dt."""
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    lines = []
+    for i in range(n):
+        name = f"b{i:05d}"
+        borders = (rng.rand(h, w) > 0.9).astype(np.uint8)
+        bp = os.path.join(root, "borders", name + ".png")
+        _write_png(bp, borders)
+        ids = (rng.randint(0, 12, (h, w)) * 256
+               + rng.randint(0, 5, (h, w))).astype(np.uint16)
+        ip = os.path.join(root, "ids", name + ".png")
+        _write_png(ip, ids)
+        img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        mp = os.path.join(root, "images", name + ".png")
+        _write_png(mp, img)
+        dt = rng.randint(0, 255, (h, w)).astype(np.uint8)
+        dp = os.path.join(root, "dt", name + ".png")
+        _write_png(dp, dt)
+        lines.append(" ".join([bp, ip, mp, dp]))
+    path_file = os.path.join(root, "paths.txt")
+    with open(path_file, "w") as f:
+        f.write("\n".join(lines))
+    return path_file

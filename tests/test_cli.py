@@ -135,3 +135,20 @@ def test_inference_cli(roots):
     ])
     assert dt > 0
     assert os.path.exists(os.path.join(roots["base"], "inf_out", "pred_0.png"))
+
+
+def test_inference_cli_borders_mode(roots):
+    from heatnet_tpu.cli.inference import main
+    from heatnet_tpu.data.synthetic import make_vistas_borders
+
+    paths = make_vistas_borders(os.path.join(roots["base"], "vb"), n=2,
+                                hw=(64, 96))
+    save = os.path.join(roots["base"], "vb_out")
+    dt = main([
+        "--borders-data", paths, "--width", "64", "--height", "48",
+        "--iters", "1", "--structure", "1", "1", "1", "1",
+        "--classes", "14", "--im-save-dir", save,
+    ])
+    assert dt > 0
+    assert os.path.exists(os.path.join(save, "pred_0.png"))
+    assert os.path.exists(os.path.join(save, "gt_0.png"))

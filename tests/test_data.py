@@ -167,3 +167,71 @@ def test_batch_iterator_tail_and_order():
     assert len(batches) == 3
     assert batches[2]["x"].shape == (1, 2)
     np.testing.assert_array_equal(batches[0]["x"][:, 0], [0, 1])
+
+
+def test_thermal_drive_dataset(tmp_path):
+    from heatnet_tpu.data.loaders import ThermalDriveDataset
+    from heatnet_tpu.data.synthetic import make_drive_dump
+
+    root = make_drive_dump(str(tmp_path / "drives"), n_drives=2, n_bursts=2,
+                           burst=2)
+    ds = ThermalDriveDataset(root)
+    assert len(ds) == 4  # 2 drives x 2 bursts
+    item = ds[0]
+    assert len(item["rgb_fl"]) == 2 and len(item["ir_fl"]) == 2
+    assert item["rgb_fl"][0].shape == (48, 64, 3)
+    assert item["rgb_fl"][0].dtype == np.float32
+    assert 0.0 <= item["rgb_fl"][0].min() and item["rgb_fl"][0].max() <= 1.0
+    assert item["ir_fl"][0].shape == (48, 64, 1)
+    assert item["ir_fl"][0].max() > 255  # raw radiometric counts
+    assert item["org_left"].dtype == np.uint8
+
+    # CLAHE + aligned-IR remap + no right camera
+    ds2 = ThermalDriveDataset(root, contrast_enhancement=True,
+                              load_aligned_ir=True, load_right=False)
+    item2 = ds2[0]
+    assert item2["rgb_fr"] is None and item2["ir_fr"] == []
+    assert len(item2["ir_fl"]) == 2  # remapped fl_ir_aligned files exist
+
+
+def test_vistas_borders_dataset(tmp_path):
+    from heatnet_tpu.data.loaders import VistasBordersDataset
+    from heatnet_tpu.data.synthetic import make_vistas_borders
+
+    paths = make_vistas_borders(str(tmp_path / "vb"), n=3, hw=(64, 96))
+    ds = VistasBordersDataset(paths, width=64, height=48)
+    assert len(ds) == 3
+    item = ds[0]
+    # the reference 8-tuple, as a dict
+    for k in ("borders", "ids", "inst", "image", "borders_clip",
+              "image_org", "dt_borders", "dt"):
+        assert k in item, k
+    assert item["image"].shape == (48, 64, 3)
+    assert item["ids"].shape == (48, 64)
+    assert set(np.unique(item["borders_clip"])) <= {0, 1}
+    # distance transform: zero exactly on border pixels, positive elsewhere
+    on_border = item["borders"] > 0
+    if on_border.any():
+        assert item["dt_borders"][on_border].max() == 0.0
+    assert item["dt_borders"].max() > 0
+
+    # eval mode: no augmentation, CLAHE off
+    ds_eval = VistasBordersDataset(paths, width=64, height=48,
+                                   contrast_enhancement=False,
+                                   augment_data=False)
+    a = ds_eval[1]["image"]
+    b = ds_eval[1]["image"]
+    np.testing.assert_array_equal(a, b)  # deterministic
+
+
+def test_vistas_clahe_option(tmp_path):
+    from heatnet_tpu.data.loaders import VistasDataset
+    from heatnet_tpu.data.synthetic import make_vistas
+
+    root = make_vistas(str(tmp_path / "v"), n=2, hw=(96, 160))
+    plain = VistasDataset(root, width=96, height=64, augment_data=False,
+                          seed=3)[0]["image"]
+    clahe = VistasDataset(root, width=96, height=64, augment_data=False,
+                          contrast_enhancement=True, seed=3)[0]["image"]
+    assert plain.shape == clahe.shape
+    assert not np.allclose(plain, clahe)  # CLAHE changed the histogram
