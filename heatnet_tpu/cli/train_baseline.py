@@ -36,7 +36,8 @@ def calculate_result(cf: np.ndarray):
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
-    p.add_argument('--model_name', default='MFNet', choices=['MFNet', 'RTFNet'])
+    p.add_argument('--model_name', default='MFNet',
+                   choices=['MFNet', 'RTFNet', 'SegNet'])
     p.add_argument('--data_dir', required=True)
     p.add_argument('--batch_size', type=int, default=8)
     p.add_argument('--epoch_max', type=int, default=100)
@@ -71,9 +72,13 @@ def main(argv=None) -> float:
     logger = RunLogger("baseline-" + args.model_name, log_dir=args.log_dir)
     logger.update_config(args)
 
+    from ..models.segnet_baseline import SegNetBaseline
+
     n_class = 9
-    model = (MFNet(n_class=n_class) if args.model_name == "MFNet"
-             else RTFNet(n_class=n_class))
+    model = {"MFNet": lambda: MFNet(n_class=n_class),
+             "RTFNet": lambda: RTFNet(n_class=n_class),
+             "SegNet": lambda: SegNetBaseline(n_class=n_class)}[
+        args.model_name]()
 
     dummy = jnp.zeros((1, 480, 640, 4))
     params, batch_stats = init_model(model, jax.random.PRNGKey(0), dummy,
@@ -133,10 +138,31 @@ def main(argv=None) -> float:
         return evaluate("combined")
 
     train_ds = MFNetTrainDataset(args.data_dir)
-    rng = jax.random.PRNGKey(0)
-    from ..data.loaders import DeviceAugment
 
-    augment = DeviceAugment(crop_hw=(432, 576), mfnet=True)  # crop_rate 0.1
+    # host-side harness augmentation: RandomFlip + RandomCrop then resize
+    # back to 480x640, matching MF_dataset.get_train_item
+    # (util/MF_dataset.py:34-45, train.py:22-26)
+    import cv2
+
+    from ..data.mf_augment import default_train_augmentations
+
+    augs = default_train_augmentations(seed=0)
+
+    def host_augment(raw):
+        imgs, labels = [], []
+        for b in range(raw["rgb_day"].shape[0]):
+            img = np.concatenate([raw["rgb_day"][b], raw["ir_day"][b]], -1)
+            lab = raw["label_day"][b]
+            for f in augs:
+                img, lab = f(img, lab)
+            img = cv2.resize(np.ascontiguousarray(img), (640, 480),
+                             interpolation=cv2.INTER_LINEAR)
+            lab = cv2.resize(np.ascontiguousarray(lab).astype(np.int32),
+                             (640, 480), interpolation=cv2.INTER_NEAREST)
+            imgs.append(img)
+            labels.append(lab)
+        return jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(labels))
+
     loss_meter = AverageMeter()
     for epo in range(args.epoch_from, args.epoch_max + 1):
         lr = args.lr_start * args.lr_decay ** (epo - 1)
@@ -145,10 +171,8 @@ def main(argv=None) -> float:
                                                seed=epo)):
             if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
                 break
-            rng, k = jax.random.split(rng)
-            b = augment(k, raw)
-            image = jnp.concatenate([b["rgb_day"], b["ir_day"]], axis=-1)
-            state, loss = train_step(state, image, b["label_day"])
+            image, label = host_augment(raw)
+            state, loss = train_step(state, image, label)
             loss_meter.update(float(loss))
             logger.log({"epoch": epo, "lr": lr, "loss": loss_meter.avg})
         print(f"epo {epo}/{args.epoch_max} lr {lr:.5f} loss {loss_meter.avg:.4f}")

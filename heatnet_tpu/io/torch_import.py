@@ -81,6 +81,11 @@ def _rename_path(parts) -> list:
                 # (extractors.py:208-217) → norm1/conv2
                 out[-1] = prev + p
                 continue
+            elif (prev[:4] == "down" or prev[:2] == "up") and \
+                    prev.lstrip("downup").isdigit():
+                # SegNet baseline stages downN/upN = Sequential(ConvBnRelu2d…)
+                # (mfnet/model/SegNet.py:25-70) → our downN/m{i}
+                p = f"m{d}"
             elif prev.startswith("feat_"):
                 # SqueezeNet Sequentials (extractors.py:334-351):
                 # feat_1.0=conv; feat_2/3.{1,2}=Fire (0=pool); feat_4.{0-3}=Fire

@@ -16,6 +16,7 @@ from .cyclegan import Discriminator, Generator
 from .mfnet import MFNet
 from .pspnet import PSPNet
 from .rtfnet import RTFNet
+from .segnet_baseline import SegNetBaseline
 from .trgb_segnet import ResNeXtSeg, net_resnext50, net_resnext101, net_resnext152
 from .unet import UNetAdapter, UNetSeg
 
@@ -51,6 +52,7 @@ MODELS: Dict[str, Callable] = {
     "pspnet": build_network,
     "mfnet": lambda **kw: MFNet(**kw),
     "rtfnet": lambda **kw: RTFNet(**kw),
+    "segnet_baseline": lambda **kw: SegNetBaseline(**kw),
     "cyclegan_generator": lambda **kw: Generator(**kw),
     "cyclegan_discriminator": lambda **kw: Discriminator(**kw),
     "unet_adapter": lambda **kw: UNetAdapter(**kw),

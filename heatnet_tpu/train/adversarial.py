@@ -221,13 +221,16 @@ def _pack_inputs(batch: Dict[str, jax.Array], modalities: str, day: bool):
     return ins
 
 
-def _apply_train(model, params, batch_stats, in_day, in_night):
+def _apply_train(model, params, batch_stats, in_day, in_night, rng=None):
     variables = {"params": params}
     mutable = []
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"]
-    out = model.apply(variables, in_day, in_night, train=True, mutable=mutable)
+    # PSPNet arch uses Dropout(0.3/0.15) at train time (pspnet.py:50-57)
+    rngs = {"dropout": rng} if rng is not None else None
+    out = model.apply(variables, in_day, in_night, train=True,
+                      mutable=mutable, rngs=rngs)
     if mutable:
         out, new_vars = out
         return out, new_vars.get("batch_stats")
@@ -272,10 +275,12 @@ def make_adversarial_steps(model, cfg: AdversarialConfig,
         return jax.nn.softmax(out.astype(jnp.float32), axis=-1), t_cert
 
     def seg_loss_fn(params, batch_stats, batch, key):
-        batch = _augment_day(key, batch, cfg)
+        k_aug, k_drop = jax.random.split(key)
+        batch = _augment_day(k_aug, batch, cfg)
         in_day = _pack_inputs(batch, cfg.modalities, day=True)
         in_night = _pack_inputs(batch, cfg.modalities, day=False)
-        out, new_bs = _apply_train(model, params, batch_stats, in_day, in_night)
+        out, new_bs = _apply_train(model, params, batch_stats, in_day,
+                                   in_night, rng=k_drop)
 
         label_day = batch["label_day"].astype(jnp.int32)
         seg_loss = cross_entropy_ignore(out["pred_label_a"], label_day,
@@ -322,10 +327,14 @@ def make_adversarial_steps(model, cfg: AdversarialConfig,
         metrics["total_loss"] = total
         return total, (new_bs, metrics)
 
-    def critic_loss_fn(params, batch_stats, batch):
+    def critic_loss_fn(params, batch_stats, batch, step):
         in_day = _pack_inputs(batch, cfg.modalities, day=True)
         in_night = _pack_inputs(batch, cfg.modalities, day=False)
-        out, new_bs = _apply_train(model, params, batch_stats, in_day, in_night)
+        # critic phase keeps train-mode dropout in the segnet (the reference
+        # never flips .eval() between phases); key derived from the step
+        k_drop = jax.random.fold_in(jax.random.PRNGKey(1), step)
+        out, new_bs = _apply_train(model, params, batch_stats, in_day,
+                                   in_night, rng=k_drop)
         loss = critic_loss(out, criterion)
         return loss, (new_bs, {"critic_loss": loss, "total_loss": loss})
 
@@ -346,7 +355,7 @@ def make_adversarial_steps(model, cfg: AdversarialConfig,
     def critic_step(state: AdversarialTrainState, batch):
         (loss, (new_bs, metrics)), grads = jax.value_and_grad(
             critic_loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                          batch)
+                                          batch, state.step)
         updates, new_opt = state.critic_tx.update(grads, state.critic_opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)
