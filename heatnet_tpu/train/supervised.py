@@ -6,9 +6,18 @@ with ``ignore_index=13`` (:223), poly LR (:232), grad clip (:256-257), Adam
 
 TPU-native shape: one jitted ``train_step`` over a ``Mesh`` — batch sharded
 on the data axis, params replicated; XLA inserts the gradient all-reduce over
-ICI (replaces ``nn.DataParallel``, scripts/main.py:120). BatchNorm statistics
-are per-call batch moments; with ``NormAct(axis_name="data")`` they become
-cross-replica (the reference's DataParallel computes per-GPU stats).
+ICI (replaces ``nn.DataParallel``, scripts/main.py:120).
+
+**BatchNorm semantics under GSPMD** (differs from the reference, by design):
+inside sharded ``jit`` the BN mean/var reductions span the *global* batch —
+XLA inserts the cross-device all-reduce because the reduced axis is sharded.
+The reference's ``nn.DataParallel`` instead computes per-GPU statistics over
+batch/num_gpus sub-batches. Global-batch BN gives lower-variance statistics
+(strictly more stable at the reference's tiny per-GPU batch of 1); it is a
+*train-time* difference only — eval uses running averages, and imported
+reference checkpoints carry their own running stats, so eval-mIoU parity is
+unaffected (verified by tests/test_torch_parity.py). Asserted in
+tests/test_mesh.py::test_batchnorm_stats_are_global_batch.
 """
 
 from __future__ import annotations
@@ -41,6 +50,21 @@ def cross_entropy_ignore(logits: jax.Array, labels: jax.Array,
     if not reduce:
         return nll
     return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def robust_loss(loss: jax.Array, a: float = 0.5, c: float = 1.0) -> jax.Array:
+    """Barron's general robust loss applied to a residual/loss tensor.
+
+    Reference ``models/confusion_maximization/utils.py:13-26`` (instantiated
+    at train_trgb_segnet_conf.py:369 but never consumed in a loss there —
+    ported for surface completeness):
+    ``(b/d) * ((((loss/c)^2)/b + 1)^(d/2) - 1)`` with ``b = |2-a|+eps`` and
+    ``d = a±eps``.
+    """
+    e = 1e-05
+    b = abs(2.0 - a) + e
+    d = a + e if a >= 0.0 else a - e
+    return (b / d) * (jnp.power(jnp.square(loss / c) / b + 1.0, 0.5 * d) - 1.0)
 
 
 def make_train_step(model, learn_batch_stats: bool = True):

@@ -157,3 +157,40 @@ def test_step_timer():
     t.step_done()
     d = t.log_dict("train_")
     assert "train_batch_time" in d and d["train_steps_per_sec"] > 0
+
+
+def test_dataset_qa_validate_and_stats(roots, capsys):
+    from heatnet_tpu.cli.dataset_qa import main
+
+    miou = main(["freiburg", "--data", roots["night"],
+                 "--structure", "1", "1", "1", "1"])
+    assert np.isfinite(miou) or np.isnan(miou)
+    out = capsys.readouterr().out
+    assert "mean IoU" in out and "road,parking" in out
+
+    miou = main(["mfnet", "--data", roots["mfnet"], "--split", "day",
+                 "--structure", "1", "1", "1", "1"])
+    assert np.isfinite(miou) or np.isnan(miou)
+
+    total = main(["stats", "--train-root", roots["train"],
+                  "--test-day", roots["day"], "--test-night", roots["night"]])
+    assert total > 0
+    out = capsys.readouterr().out
+    assert "TRAINING DATASET STATS" in out
+    assert "of all DAY pixels" in out
+
+
+def test_robust_loss_barron():
+    import jax.numpy as jnp
+
+    from heatnet_tpu.train.supervised import robust_loss
+
+    x = np.linspace(0.0, 4.0, 17).astype(np.float32)
+    ours = np.asarray(robust_loss(jnp.asarray(x), a=0.5, c=1.0))
+    # reference formula (utils.py:21-24), numpy transliteration for the test
+    a, c, e = 0.5, 1.0, 1e-05
+    b = abs(2.0 - a) + e
+    d = a + e
+    want = (b / d) * (np.power(np.square(x / c) / b + 1.0, 0.5 * d) - 1.0)
+    np.testing.assert_allclose(ours, want, rtol=1e-5)  # f32 vs f64
+    assert ours[0] == 0.0 and np.all(np.diff(ours) > 0)

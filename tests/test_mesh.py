@@ -1,5 +1,7 @@
 """Mesh / sharding tests on the 8-device virtual CPU backend."""
 
+import os
+
 import jax
 import numpy as np
 
@@ -43,3 +45,80 @@ def test_pad_batch_to():
     assert n == 3
     assert padded["x"].shape == (8,)
     assert float(padded["x"][-1]) == 2.0
+
+
+def test_batchnorm_stats_are_global_batch():
+    """Under sharded jit, BN batch moments span the GLOBAL batch (GSPMD
+    inserts the cross-device reduction) — see train/supervised.py docstring.
+    The reference's DataParallel would compute per-GPU stats instead."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    mesh = create_mesh()
+    rng = np.random.RandomState(0)
+    # deliberately different distribution per shard-of-8
+    x = np.concatenate([rng.rand(2, 4, 4, 3) + 10 * i for i in range(8)])
+    x = x.astype(np.float32)
+
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.0)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 3)))
+
+    @jax.jit
+    def step(xs):
+        _, new_vars = bn.apply(variables, xs, mutable=["batch_stats"])
+        return new_vars["batch_stats"]
+
+    sharded = shard_batch(mesh, x)
+    stats = jax.device_get(step(sharded))
+    global_mean = x.reshape(-1, 3).mean(axis=0)
+    np.testing.assert_allclose(stats["mean"], global_mean, rtol=1e-4)
+
+
+def test_two_process_distributed_smoke():
+    """Multi-host data parallelism: 2 jax.distributed processes on the CPU
+    backend run a psum over the global device set (mesh.py:27-36
+    maybe_initialize_distributed recipe; SURVEY §2.6 DDP-gloo equivalent)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    code = """
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:%d",
+                           num_processes=2,
+                           process_id=int(sys.argv[1]))
+import jax.numpy as jnp
+assert jax.process_count() == 2, jax.process_count()
+n = jax.device_count()      # global
+nl = jax.local_device_count()
+import numpy as np
+from jax.experimental import multihost_utils
+x = jnp.ones((nl,)) * (jax.process_index() + 1)
+out = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
+total = float(np.asarray(out)[0])
+# sum over all global devices: nl*1 + nl*2
+expected = nl * 3.0
+assert total == expected, (total, expected)
+print("proc", jax.process_index(), "psum ok", total)
+""" % port
+
+    env = dict(os.environ)
+    env.pop("_HEATNET_DRYRUN_CHILD", None)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=2"])
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(i)], env=env,
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert any("psum ok" in o for o in outs)
