@@ -101,15 +101,74 @@ def _rename_path(parts) -> list:
     return out
 
 
+def cyclegan_generator_renames(n_residual_blocks: int = 9) -> Dict[str, str]:
+    """Dotted-key prefix map: reference Generator Sequential indices
+    (cyclegan/models.py:26-67) → our named modules (models/cyclegan.py)."""
+    m = {"model.1": "inconv", "model.4": "down1", "model.7": "down2"}
+    for i in range(n_residual_blocks):
+        m[f"model.{10 + i}.conv_block.1"] = f"res{i + 1}.conv1"
+        m[f"model.{10 + i}.conv_block.5"] = f"res{i + 1}.conv2"
+    base = 10 + n_residual_blocks
+    m[f"model.{base}"] = "up1"
+    m[f"model.{base + 3}"] = "up2"
+    m[f"model.{base + 7}"] = "outconv"
+    return m
+
+
+# reference patch Discriminator Sequential (cyclegan/models.py:69-97 ==
+# discriminator_model.py:5-33) → our conv1..conv5 (InstanceNorms carry no
+# parameters)
+PATCHGAN_DISC_RENAMES = {
+    "model.0": "conv1", "model.2": "conv2", "model.5": "conv3",
+    "model.8": "conv4", "model.11": "conv5",
+}
+
+
+def downnet_renames(downsampling: int) -> Dict[str, str]:
+    """DownNet Sequential (downscale_network.py:23-35) → downN_conv names."""
+    return {f"net.{i}.conv1": f"down{i + 1}_conv"
+            for i in range(downsampling)}
+
+
+def unet_adapter_renames() -> Dict[str, str]:
+    """input_adapter UNet Sequential names (input_adapter.py:5-101) → ours.
+
+    DoubleConv = Sequential(conv, bn, relu, conv, bn, relu); Down wraps it
+    under ``maxpool_conv.1``; Up under ``conv``; OutConv under ``conv``.
+    """
+    m = {"inc.double_conv.0": "inc.conv1", "inc.double_conv.1": "inc.bn1",
+         "inc.double_conv.3": "inc.conv2", "inc.double_conv.4": "inc.bn2",
+         "outc.conv": "outc"}
+    for i in (1, 2, 3, 4):
+        for j, (c, b) in enumerate((("conv1", "bn1"), ("conv2", "bn2"))):
+            m[f"down{i}.maxpool_conv.1.double_conv.{j * 3}"] = f"down{i}.conv.{c}"
+            m[f"down{i}.maxpool_conv.1.double_conv.{j * 3 + 1}"] = f"down{i}.conv.{b}"
+    for i in (1, 2, 3, 4):
+        for j, (c, b) in enumerate((("conv1", "bn1"), ("conv2", "bn2"))):
+            m[f"up{i}.conv.double_conv.{j * 3}"] = f"up{i}.conv.{c}"
+            m[f"up{i}.conv.double_conv.{j * 3 + 1}"] = f"up{i}.conv.{b}"
+    return m
+
+
+def _apply_rename_map(key: str, rename_map: Dict[str, str]) -> str:
+    for old in sorted(rename_map, key=len, reverse=True):
+        if key == old or key.startswith(old + "."):
+            return rename_map[old] + key[len(old):]
+    return key
+
+
 def convert_state_dict(state_dict: Dict[str, Any],
                        transpose_deconv_names: Tuple[str, ...] = (
                            "up", "up_seg_2", "up_seg_2_cert", "up_borders_3",
                            "up_inst_2", "deconv", "upsample"),
+                       rename_map: Dict[str, str] = None,
                        ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Convert a torch state_dict → (params_flat, batch_stats_flat).
 
     Keys in the result are '/'-joined paths compatible with
     ``heatnet_tpu.io.checkpoint`` flattened trees. Tensors become numpy.
+    ``rename_map`` applies model-specific dotted-prefix renames (longest
+    prefix wins) before the generic name rules.
     """
     params: Dict[str, np.ndarray] = {}
     stats: Dict[str, np.ndarray] = {}
@@ -117,6 +176,8 @@ def convert_state_dict(state_dict: Dict[str, Any],
     for key, tensor in state_dict.items():
         t = np.asarray(tensor.detach().cpu().numpy()
                        if hasattr(tensor, "detach") else tensor)
+        if rename_map:
+            key = _apply_rename_map(key, rename_map)
         parts = _rename_path(key.split("."))
         if not parts:
             continue
@@ -175,12 +236,13 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def import_into(target_params, target_stats, state_dict,
-                to_rename: str = "", rename: str = "") -> Tuple[Any, Any]:
+                to_rename: str = "", rename: str = "",
+                rename_map: Dict[str, str] = None) -> Tuple[Any, Any]:
     """Full pipeline: convert names/layouts, optional prefix rewrite,
     intersect into the target trees (initModelRenamed/Partial semantics)."""
     from .checkpoint import _flatten, _unflatten, _shape_ok
 
-    p_flat, s_flat = convert_state_dict(state_dict)
+    p_flat, s_flat = convert_state_dict(state_dict, rename_map=rename_map)
     if to_rename or rename:
         p_flat = {k.replace(to_rename, rename): v for k, v in p_flat.items()}
         s_flat = {k.replace(to_rename, rename): v for k, v in s_flat.items()}

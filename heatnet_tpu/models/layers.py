@@ -275,15 +275,20 @@ def adaptive_avg_pool(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
 
 
 def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
-    """Bilinear resize (half-pixel centers) to (H, W), NHWC.
+    """Bilinear resize (half-pixel centers, NO antialiasing) to (H, W), NHWC.
 
-    Torch's ``UpsamplingBilinear2d`` uses align_corners=True; for the places
-    the reference upsamples (constant global-pool branches, critic score maps,
-    PSP priors) the half-pixel convention is an accepted deviation —
+    ``antialias=False`` matches torch ``F.interpolate(mode='bilinear',
+    align_corners=False)`` exactly — including 0.5x downscales (DownNet's
+    Interpolate, downscale_network.py:5-13); jax's default antialias=True
+    widens the kernel on downscale and diverges. Torch's
+    ``UpsamplingBilinear2d`` uses align_corners=True; for the places the
+    reference upsamples with it (constant global-pool branches, critic score
+    maps, PSP priors) the half-pixel convention is an accepted deviation —
     documented here once.
     """
     n, _, _, c = x.shape
-    return jax.image.resize(x, (n, out_hw[0], out_hw[1], c), method="bilinear")
+    return jax.image.resize(x, (n, out_hw[0], out_hw[1], c),
+                            method="bilinear", antialias=False)
 
 
 def resize_nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:

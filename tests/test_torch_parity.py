@@ -360,3 +360,254 @@ def test_trgb_segnet_resnext50_full_depth_parity():
                                 train=False)
     np.testing.assert_allclose(np.asarray(seg_j), _to_nhwc(seg_t),
                                rtol=1e-3, atol=5e-3)
+
+
+def _ref_conf(path_rel):
+    """Import a confusion_maximization module by filename."""
+    import importlib.util
+
+    full = os.path.join(REFERENCE, "confusion_maximization", path_rel)
+    name = "_refcm_" + os.path.splitext(os.path.basename(path_rel))[0]
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, full)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_fcdiscriminator_forward_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.io.torch_import import import_into
+    from heatnet_tpu.models.critics import FCDiscriminator
+    from heatnet_tpu.train.state import init_model
+
+    ref = _ref_conf("discriminator_model.py")
+    torch.manual_seed(0)
+    model_t = ref.FCDiscriminator(num_classes=13).eval()
+
+    model_j = FCDiscriminator(dtype=jnp.float32)
+    x = np.random.RandomState(1).rand(2, 64, 128, 13).astype(np.float32)
+    params, _ = init_model(model_j, jax.random.PRNGKey(0), jnp.asarray(x))
+    params, _ = import_into(params, None, model_t.state_dict())
+
+    with torch.no_grad():
+        y_t = model_t(_nchw(x))
+    y_j = model_j.apply({"params": params}, jnp.asarray(x))
+    # upsample conventions differ (fixed x32 vs to-input-size are identical
+    # on stride-aligned inputs; bilinear half-pixel matches align_corners
+    # None/False)
+    np.testing.assert_allclose(np.asarray(y_j), _to_nhwc(y_t),
+                               rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_pool_discriminator_forward_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.io.torch_import import PATCHGAN_DISC_RENAMES, import_into
+    from heatnet_tpu.models.critics import PoolDiscriminator
+    from heatnet_tpu.train.state import init_model
+
+    ref = _ref_conf("discriminator_model.py")
+    torch.manual_seed(0)
+    model_t = ref.Discriminator(input_nc=13).eval()
+
+    model_j = PoolDiscriminator(dtype=jnp.float32)
+    x = np.random.RandomState(2).rand(2, 64, 128, 13).astype(np.float32)
+    params, _ = init_model(model_j, jax.random.PRNGKey(0), jnp.asarray(x))
+    params, _ = import_into(params, None, model_t.state_dict(),
+                            rename_map=PATCHGAN_DISC_RENAMES)
+
+    with torch.no_grad():
+        y_t = model_t(_nchw(x))
+    y_j = model_j.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(),
+                               rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_downnet_forward_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.io.torch_import import downnet_renames, import_into
+    from heatnet_tpu.models.critics import DownNet
+    from heatnet_tpu.train.state import init_model
+
+    ref = _ref_conf("models/downscale_network.py")
+    torch.manual_seed(0)
+    model_t = ref.DownNet(downsampling=3, channels=12).eval()
+
+    model_j = DownNet(downsampling=3, dtype=jnp.float32)
+    x = np.random.RandomState(3).rand(2, 64, 128, 12).astype(np.float32)
+    params, _ = init_model(model_j, jax.random.PRNGKey(0), jnp.asarray(x))
+    params, _ = import_into(params, None, model_t.state_dict(),
+                            rename_map=downnet_renames(3))
+
+    with torch.no_grad():
+        y_t = model_t(_nchw(x))
+    y_j = model_j.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_j), _to_nhwc(y_t),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_unet_adapter_forward_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.io.torch_import import import_into, unet_adapter_renames
+    from heatnet_tpu.models.unet import UNetAdapter
+    from heatnet_tpu.train.state import init_model
+
+    ref = _ref_conf("models/input_adapter.py")
+    torch.manual_seed(0)
+    model_t = ref.UNet(n_channels=4, n_classes=4).eval()
+    _randomize_bn_stats(model_t)
+
+    model_j = UNetAdapter(n_classes=4, dtype=jnp.float32)
+    x = np.random.RandomState(4).rand(2, 64, 128, 4).astype(np.float32)
+    params, batch_stats = init_model(model_j, jax.random.PRNGKey(0),
+                                     jnp.asarray(x),
+                                     init_kwargs={"train": True})
+    params, batch_stats = import_into(params, batch_stats,
+                                      model_t.state_dict(),
+                                      rename_map=unet_adapter_renames())
+
+    with torch.no_grad():
+        y_t = model_t(_nchw(x))
+    y_j = model_j.apply({"params": params, "batch_stats": batch_stats},
+                        jnp.asarray(x), train=False)
+    # reference Up uses align_corners=True upsampling; ours half-pixel —
+    # interior pixels match, so compare with a slightly relaxed tolerance
+    # over the central crop
+    yj = np.asarray(y_j)[:, 4:-4, 4:-4]
+    yt = _to_nhwc(y_t)[:, 4:-4, 4:-4]
+    np.testing.assert_allclose(yj, yt, rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.slow
+def test_cyclegan_generator_forward_parity():
+    import importlib.util
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.io.torch_import import (cyclegan_generator_renames,
+                                             import_into)
+    from heatnet_tpu.models.cyclegan import Generator
+    from heatnet_tpu.train.state import init_model
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_cyclegan_models",
+        os.path.join(REFERENCE, "cyclegan", "models.py"))
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_cyclegan_models"] = ref
+    spec.loader.exec_module(ref)
+
+    torch.manual_seed(0)
+    model_t = ref.Generator(input_nc=1, output_nc=1, n_residual_blocks=3).eval()
+
+    model_j = Generator(output_nc=1, n_residual_blocks=3, dtype=jnp.float32)
+    x = np.random.RandomState(5).rand(2, 64, 64, 1).astype(np.float32)
+    params, _ = init_model(model_j, jax.random.PRNGKey(0), jnp.asarray(x))
+    params, _ = import_into(params, None, model_t.state_dict(),
+                            rename_map=cyclegan_generator_renames(3))
+
+    with torch.no_grad():
+        y_t = model_t(_nchw(x))
+    y_j = model_j.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_j), _to_nhwc(y_t),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_mfnet_forward_parity():
+    import importlib.util
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.io.torch_import import import_into
+    from heatnet_tpu.models import MFNet
+    from heatnet_tpu.train.state import init_model
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_mfnet",
+        os.path.join(REFERENCE, "external_models", "mfnet", "model",
+                     "MFNet.py"))
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_mfnet"] = ref
+    spec.loader.exec_module(ref)
+
+    torch.manual_seed(0)
+    model_t = ref.MFNet(n_class=9).eval()
+    _randomize_bn_stats(model_t)
+
+    model_j = MFNet(n_class=9, dtype=jnp.float32)
+    x = np.random.RandomState(6).rand(2, 64, 96, 4).astype(np.float32)
+    params, batch_stats = init_model(model_j, jax.random.PRNGKey(0),
+                                     jnp.asarray(x),
+                                     init_kwargs={"train": True})
+    params, batch_stats = _convert_full(model_t, params, batch_stats)
+
+    with torch.no_grad():
+        y_t = model_t(_nchw(x))
+    y_j = model_j.apply({"params": params, "batch_stats": batch_stats},
+                        jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(y_j), _to_nhwc(y_t),
+                               rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_critic_resnet_forward_parity():
+    """ResNet classifier critic (critic_resnet.py:122-226) vs our
+    extractor in classifier mode."""
+    import importlib.util
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.io.torch_import import import_into
+    from heatnet_tpu.models.extractors import make_resnet
+    from heatnet_tpu.train.state import init_model
+
+    _stub_torchvision()
+    # critic_resnet imports load_state_dict_from_url from torchvision
+    tv_resnet = types.ModuleType("torchvision.models.resnet")
+    tv_resnet.load_state_dict_from_url = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("stub"))
+    sys.modules["torchvision.models.resnet"] = tv_resnet
+    sys.modules["torchvision.models"].resnet = tv_resnet
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_critic_resnet",
+        os.path.join(REFERENCE, "confusion_maximization", "models",
+                     "critic_resnet.py"))
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_critic_resnet"] = ref
+    spec.loader.exec_module(ref)
+
+    torch.manual_seed(0)
+    model_t = ref.resnet18(pretrained=False, input_maps=13,
+                           num_classes=1).eval()
+    _randomize_bn_stats(model_t)
+
+    model_j = make_resnet("resnet18", in_channels=13, num_classes=1,
+                          dtype=jnp.float32)
+    x = np.random.RandomState(7).rand(2, 64, 128, 13).astype(np.float32)
+    params, batch_stats = init_model(model_j, jax.random.PRNGKey(0),
+                                     jnp.asarray(x),
+                                     init_kwargs={"train": True})
+    params, batch_stats = import_into(params, batch_stats,
+                                      model_t.state_dict())
+
+    with torch.no_grad():
+        y_t = model_t(_nchw(x))
+    y_j = model_j.apply({"params": params, "batch_stats": batch_stats},
+                        jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(),
+                               rtol=1e-3, atol=2e-3)
