@@ -130,7 +130,7 @@ def main(argv=None) -> float:
         modalities=opt.modalities, input_adapter=opt.train_input_adapter,
         cert_branch=opt.cert_branch, arch=opt.arch,
         late_fusion=opt.late_fusion, structure=tuple(opt.structure),
-        dtype=dtype)
+        dtype=dtype, remat=True)
 
     h, w = opt.crop_height, opt.crop_width
     n_rgb = 3 if "rgb" in opt.modalities else 0

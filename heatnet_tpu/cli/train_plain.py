@@ -55,7 +55,7 @@ def main(argv=None) -> float:
     logger.update_config(opt)
 
     model = ResNeXtSeg(structure=tuple(opt.structure), input_channels=4,
-                       dtype=jnp.bfloat16)
+                       dtype=jnp.bfloat16, remat=True)
     ds = FreiburgThermalDataset(opt.dataroot, split="train")
     augment = DeviceAugment(crop_hw=(320, 640))
 

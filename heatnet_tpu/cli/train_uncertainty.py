@@ -49,8 +49,8 @@ def main(argv=None) -> float:
     logger.update_config(opt)
 
     structure = tuple(opt.structure)
-    enc1 = ResNeXtEncoder(structure=structure, in_channels=1, classes=12)
-    enc2 = ResNeXtEncoder(structure=structure, in_channels=1, classes=1)
+    enc1 = ResNeXtEncoder(structure=structure, in_channels=1, classes=12, remat=True)
+    enc2 = ResNeXtEncoder(structure=structure, in_channels=1, classes=1, remat=True)
     seg_dec = ResNeXtDecoder(out_classes=12)
     unc_dec = ResNeXtDecoder(out_classes=1, last_activation="sigmoid")
 

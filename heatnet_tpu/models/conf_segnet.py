@@ -44,6 +44,7 @@ class ConfSegnet(nn.Module):
     classes: int = 13
     structure: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
+    remat: bool = False  # checkpoint backbone stages (train memory)
 
     @property
     def num_input_channels(self) -> int:
@@ -63,6 +64,7 @@ class ConfSegnet(nn.Module):
                 late_fusion=self.late_fusion,
                 classes=self.classes,
                 dtype=self.dtype,
+                remat=self.remat,
             )
         elif self.arch == "pspnet":
             self.trgb_segnet = PSPNet(

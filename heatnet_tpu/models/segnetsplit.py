@@ -51,6 +51,7 @@ class ResNeXtEncoder(nn.Module):
     base_channels: Sequence[int] = (128, 128, 256)
     norm_act: NormAct = NormAct()
     dtype: Any = jnp.float32
+    remat: bool = False  # checkpoint backbone stages (train memory)
 
     @nn.compact
     def __call__(self, img: jax.Array, train: bool = False):
@@ -63,14 +64,16 @@ class ResNeXtEncoder(nn.Module):
         for _ in range(3):
             ch.append([c * 2 for c in ch[-1]])
 
-        out_4 = _Stage(self.structure[0], ch[0], 0, self.groups, self.dilation,
-                       norm_act, dtype, name="mod2_1")(x, train)
-        x = _Stage(self.structure[1], ch[1], 1, self.groups, self.dilation,
-                   norm_act, dtype, name="mod3_1")(out_4, train)
-        x = _Stage(self.structure[2], ch[2], 2, self.groups, self.dilation,
-                   norm_act, dtype, name="mod4_1")(x, train)
-        x = _Stage(self.structure[3], ch[3], 3, self.groups, self.dilation,
-                   norm_act, dtype, name="mod5_1")(x, train)
+        stage_cls = (nn.remat(_Stage, static_argnums=(2,)) if self.remat
+                     else _Stage)
+        out_4 = stage_cls(self.structure[0], ch[0], 0, self.groups, self.dilation,
+                          norm_act, dtype, name="mod2_1")(x, train)
+        x = stage_cls(self.structure[1], ch[1], 1, self.groups, self.dilation,
+                      norm_act, dtype, name="mod3_1")(out_4, train)
+        x = stage_cls(self.structure[2], ch[2], 2, self.groups, self.dilation,
+                      norm_act, dtype, name="mod4_1")(x, train)
+        x = stage_cls(self.structure[3], ch[3], 3, self.groups, self.dilation,
+                      norm_act, dtype, name="mod5_1")(x, train)
         x = ABN(norm_act, dtype, name="bn_out_1")(x, train)
         seg, _, _ = ASPP(self.classes, cert_head=False, norm_act=norm_act,
                          dtype=dtype, name="aspp")(x, train)

@@ -98,6 +98,7 @@ class ResNeXtSeg(nn.Module):
     input_3x3: bool = True  # False → Vistas 7x7 stem (2x downsample stem)
     norm_act: NormAct = NormAct()
     dtype: Any = jnp.float32
+    remat: bool = False  # checkpoint each backbone stage (train memory)
 
     @nn.compact
     def __call__(
@@ -113,8 +114,17 @@ class ResNeXtSeg(nn.Module):
         if modal_2 is not None:
             modal_2 = modal_2.astype(dtype)
 
+        # Rematerialization: saving every residual-block activation at
+        # batch 30 x 384x768 oversubscribes v5e HBM (measured 1466 ms/step
+        # from spilling vs 85 ms at batch 8 pre-remat); checkpointing each
+        # stage keeps only stage boundaries live and recomputes one stage
+        # at a time in the backward pass.
+        # static_argnums counts (self, x, train) in flax's remat wrapping
+        stage_cls = (nn.remat(_Stage, static_argnums=(2,)) if self.remat
+                     else _Stage)
+
         def stage(name: str, mod_id: int, channels) -> _Stage:
-            return _Stage(
+            return stage_cls(
                 num_blocks=self.structure[mod_id],
                 channels=channels,
                 mod_id=mod_id,

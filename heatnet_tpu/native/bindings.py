@@ -16,7 +16,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libheatnet_native.so")
-_SOURCES = ["relabeller.cpp", "burst_sampler.cpp", "thermal_preproc.cpp"]
+_SOURCES = ["relabeller.cpp", "burst_sampler.cpp", "thermal_preproc.cpp",
+            "pubsub.cpp"]
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 
@@ -71,6 +72,20 @@ def get_lib() -> ctypes.CDLL:
                                         ctypes.c_float, ctypes.c_int]
         lib.gray_binarize.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_int, ctypes.c_int]
+        lib.bus_create.restype = ctypes.c_void_p
+        lib.bus_destroy.argtypes = [ctypes.c_void_p]
+        lib.bus_subscribe.restype = ctypes.c_int
+        lib.bus_subscribe.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int]
+        lib.bus_publish.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int64, ctypes.c_void_p,
+                                    ctypes.c_int]
+        lib.bus_poll.restype = ctypes.c_int
+        lib.bus_poll.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int]
+        lib.bus_pending.restype = ctypes.c_int
+        lib.bus_pending.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _LIB = lib
         return lib
 
@@ -181,3 +196,42 @@ def gray_binarize(gray: np.ndarray, thresh: int = 140) -> np.ndarray:
     out = np.empty(gray.shape, np.uint8)
     lib.gray_binarize(_ptr(gray), _ptr(out), gray.size, thresh)
     return out
+
+
+class MessageBus:
+    """In-process pub/sub bus (native pubsub.cpp) — the msg_filter
+    scaffolding equivalent (firstNode/secondNode, ros_src/learn_msg_filter).
+
+    Topics are strings; messages are (stamp_s, bytes) with per-subscriber
+    bounded drop-oldest queues like ros::Publisher queue_size semantics.
+    """
+
+    def __init__(self):
+        self._lib = get_lib()
+        self._h = self._lib.bus_create()
+
+    def subscribe(self, topic: str, queue_size: int = 5) -> int:
+        return self._lib.bus_subscribe(self._h, topic.encode(), queue_size)
+
+    def publish(self, topic: str, stamp_s: float, payload: bytes) -> None:
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        self._lib.bus_publish(self._h, topic.encode(), int(stamp_s * 1e9),
+                              _ptr(np.ascontiguousarray(buf)), len(payload))
+
+    def poll(self, sub_id: int, max_len: int = 1 << 20):
+        stamp = np.empty(1, np.int64)
+        buf = np.empty(max_len, np.uint8)
+        n = self._lib.bus_poll(self._h, sub_id, _ptr(stamp), _ptr(buf),
+                               max_len)
+        if n < 0:
+            return None
+        return float(stamp[0]) / 1e9, bytes(buf[:n].tobytes())
+
+    def pending(self, sub_id: int) -> int:
+        return self._lib.bus_pending(self._h, sub_id)
+
+    def __del__(self):
+        try:
+            self._lib.bus_destroy(self._h)
+        except Exception:
+            pass

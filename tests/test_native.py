@@ -80,3 +80,53 @@ def test_gray_binarize():
     g = np.array([[0, 139, 140, 141, 255]], np.uint8)
     out = gray_binarize(g, thresh=140)
     np.testing.assert_array_equal(out[0], [0, 0, 0, 255, 255])
+
+
+def test_message_bus_pubsub():
+    """firstNode/secondNode scaffolding equivalent (pubsub.cpp)."""
+    from heatnet_tpu.native.bindings import MessageBus
+
+    bus = MessageBus()
+    sub = bus.subscribe("rgb_0", queue_size=3)
+    late_sub = bus.subscribe("rgb_0", queue_size=5)
+    other = bus.subscribe("ir_0", queue_size=5)
+
+    # 5 publishes into a queue of 3 → oldest two dropped for `sub`
+    for i in range(5):
+        bus.publish("rgb_0", stamp_s=i / 30.0, payload=f"RGB image {i}".encode())
+    assert bus.pending(sub) == 3
+    assert bus.pending(late_sub) == 5
+    assert bus.pending(other) == 0
+
+    stamp, payload = bus.poll(sub)
+    assert payload == b"RGB image 2"  # drop-oldest kept 2, 3, 4
+    assert abs(stamp - 2 / 30.0) < 1e-9
+    assert bus.poll(other) is None
+
+    # stamped messages feed the ApproximateTime synchronizer downstream
+    msgs = []
+    while True:
+        m = bus.poll(late_sub)
+        if m is None:
+            break
+        msgs.append(m[1])
+    assert msgs == [f"RGB image {i}".encode() for i in range(5)]
+
+
+def test_camera_focus_fde(tmp_path):
+    """Sharp frames must score lower (more negative) FDE than blurred ones
+    (kalibr_camera_focus:29-39 semantics: minimize for focus)."""
+    import cv2
+
+    from heatnet_tpu.cli.camera_focus import frequency_domain_entropy, main
+
+    rng = np.random.RandomState(0)
+    sharp = (rng.rand(64, 64) > 0.5).astype(np.uint8) * 255
+    blurred = cv2.GaussianBlur(sharp, (11, 11), 5.0)
+    assert frequency_domain_entropy(sharp) < frequency_domain_entropy(blurred)
+
+    cv2.imwrite(str(tmp_path / "sharp.png"), sharp)
+    cv2.imwrite(str(tmp_path / "blur.png"), blurred)
+    results = main(["--images", str(tmp_path)])
+    assert len(results) == 2
+    assert results[str(tmp_path / "sharp.png")] < results[str(tmp_path / "blur.png")]

@@ -611,3 +611,59 @@ def test_critic_resnet_forward_parity():
                         jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(),
                                rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_segnetsplit_encoder_decoder_parity():
+    """Uncertainty pretrainer nets (segnetsplit.py:240-413): encoder
+    (aspp_out, out_4) and decoder (2x deconv + fuseModule2) vs torch."""
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.io.torch_import import import_into
+    from heatnet_tpu.models.segnetsplit import ResNeXtDecoder, ResNeXtEncoder
+    from heatnet_tpu.train.state import init_model
+
+    _load_ref_package("_ref_conf_models",
+                      os.path.join(REFERENCE, "confusion_maximization",
+                                   "models"))
+    ref = importlib.import_module("_ref_conf_models.segnetsplit")
+
+    torch.manual_seed(0)
+    enc_t = ref.ResNeXtEncoder(structure=[1, 1, 1, 1], classes=12,
+                               in_channels=1).eval()
+    dec_t = ref.ResNeXtDecoder(out_classes=12,
+                               last_activation=torch.nn.Identity()).eval()
+    _randomize_bn_stats(enc_t)
+    _randomize_bn_stats(dec_t, seed=9)
+
+    enc_j = ResNeXtEncoder(structure=(1, 1, 1, 1), classes=12, in_channels=1,
+                           dtype=jnp.float32)
+    dec_j = ResNeXtDecoder(out_classes=12, dtype=jnp.float32)
+
+    x = np.random.RandomState(9).rand(1, 64, 128, 1).astype(np.float32)
+    e_params, e_bs = init_model(enc_j, jax.random.PRNGKey(0), jnp.asarray(x),
+                                init_kwargs={"train": True})
+    e_params, e_bs = import_into(e_params, e_bs, enc_t.state_dict())
+
+    with torch.no_grad():
+        seg_t, out4_t = enc_t(_nchw(x))
+    seg_j, out4_j = enc_j.apply({"params": e_params, "batch_stats": e_bs},
+                                jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(seg_j), _to_nhwc(seg_t),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out4_j), _to_nhwc(out4_t),
+                               rtol=1e-3, atol=2e-3)
+
+    d_params, d_bs = init_model(dec_j, jax.random.PRNGKey(1),
+                                jnp.asarray(np.asarray(seg_j)),
+                                jnp.asarray(np.asarray(out4_j)),
+                                init_kwargs={"train": True})
+    d_params, d_bs = import_into(d_params, d_bs, dec_t.state_dict())
+    with torch.no_grad():
+        dec_out_t = dec_t(seg_t, out4_t)
+    dec_out_j = dec_j.apply({"params": d_params, "batch_stats": d_bs},
+                            jnp.asarray(np.asarray(seg_j)),
+                            jnp.asarray(np.asarray(out4_j)), train=False)
+    np.testing.assert_allclose(np.asarray(dec_out_j), _to_nhwc(dec_out_t),
+                               rtol=1e-3, atol=2e-3)
