@@ -60,7 +60,7 @@ def main(argv=None) -> float:
     import optax
 
     from ..core.cache import enable_compilation_cache
-    from ..data.loaders import MFNetDataset, MFNetTrainDataset, batch_iterator
+    from ..data.loaders import MFNetDataset, batch_iterator
     from ..io.checkpoint import load_checkpoint, restore_full, save_checkpoint
     from ..io.logging import AverageMeter, RunLogger
     from ..models import MFNet, RTFNet
@@ -123,8 +123,10 @@ def main(argv=None) -> float:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         for i in range(len(ds)):
             item = ds[i]
-            img = jnp.concatenate([jnp.asarray(item["rgb"]),
-                                   jnp.asarray(item["ir"])], axis=-1)
+            # harness protocol: images scaled /255 only (MF_dataset.py:42,
+            # test.py) — use the un-mean-subtracted arrays
+            img = jnp.concatenate([jnp.asarray(item["rgb_org"]),
+                                   jnp.asarray(item["ir_org"])], axis=-1)
             cf += np.asarray(eval_step(variables, img,
                                        jnp.asarray(item["label"])), np.int64)
         overall_acc, acc, iou = calculate_result(cf)
@@ -137,31 +139,14 @@ def main(argv=None) -> float:
     if args.test:
         return evaluate("combined")
 
-    train_ds = MFNetTrainDataset(args.data_dir)
-
-    # host-side harness augmentation: RandomFlip + RandomCrop then resize
-    # back to 480x640, matching MF_dataset.get_train_item
+    # MF_dataset.get_train_item parity: native 9-class labels, per-item
+    # RandomFlip + RandomCrop, resize back to 640x480, images /255
     # (util/MF_dataset.py:34-45, train.py:22-26)
-    import cv2
-
+    from ..data.loaders import MFHarnessTrainDataset
     from ..data.mf_augment import default_train_augmentations
 
-    augs = default_train_augmentations(seed=0)
-
-    def host_augment(raw):
-        imgs, labels = [], []
-        for b in range(raw["rgb_day"].shape[0]):
-            img = np.concatenate([raw["rgb_day"][b], raw["ir_day"][b]], -1)
-            lab = raw["label_day"][b]
-            for f in augs:
-                img, lab = f(img, lab)
-            img = cv2.resize(np.ascontiguousarray(img), (640, 480),
-                             interpolation=cv2.INTER_LINEAR)
-            lab = cv2.resize(np.ascontiguousarray(lab).astype(np.int32),
-                             (640, 480), interpolation=cv2.INTER_NEAREST)
-            imgs.append(img)
-            labels.append(lab)
-        return jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(labels))
+    train_ds = MFHarnessTrainDataset(
+        args.data_dir, transform=default_train_augmentations(seed=0))
 
     loss_meter = AverageMeter()
     for epo in range(args.epoch_from, args.epoch_max + 1):
@@ -171,8 +156,8 @@ def main(argv=None) -> float:
                                                seed=epo)):
             if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
                 break
-            image, label = host_augment(raw)
-            state, loss = train_step(state, image, label)
+            state, loss = train_step(state, jnp.asarray(raw["image"]),
+                                     jnp.asarray(raw["label"]))
             loss_meter.update(float(loss))
             logger.log({"epoch": epo, "lr": lr, "loss": loss_meter.avg})
         print(f"epo {epo}/{args.epoch_max} lr {lr:.5f} loss {loss_meter.avg:.4f}")

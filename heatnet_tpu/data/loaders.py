@@ -345,6 +345,46 @@ class MFNetTrainDataset:
         }
 
 
+class MFHarnessTrainDataset:
+    """MFNet *harness* train loader — ``MF_dataset(have_label=True)`` parity
+    (``mfnet/util/MF_dataset.py:10-60``): train.txt names, 4-channel PNG +
+    NATIVE 9-class labels (not the HeatNet pseudo-labels of
+    :class:`MFNetTrainDataset`), a transform list applied per item, resize
+    back to (640, 480), image scaled by /255 (no mean/std — :42-43).
+    """
+
+    WIDTH, HEIGHT = 640, 480
+
+    def __init__(self, data_dir: str, split: str = "train", transform=()):
+        with open(os.path.join(data_dir, split + ".txt")) as f:
+            self.names = [n.strip() for n in f.readlines()]
+        self.data_dir = data_dir
+        self.transform = list(transform)
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        name = self.names[index]
+        im = cv2.imread(os.path.join(self.data_dir, "images", name + ".png"),
+                        cv2.IMREAD_UNCHANGED)
+        # reference reads via PIL → RGB(+IR) channel order
+        image = np.concatenate(
+            [cv2.cvtColor(im[:, :, :3], cv2.COLOR_BGR2RGB), im[:, :, 3:]],
+            axis=-1)
+        label = cv2.imread(os.path.join(self.data_dir, "labels", name + ".png"),
+                           cv2.IMREAD_GRAYSCALE)
+        for func in self.transform:
+            image, label = func(image, label)
+        wh = (self.WIDTH, self.HEIGHT)
+        image = _resize(np.ascontiguousarray(image), wh)
+        label = _resize(np.ascontiguousarray(label), wh, nearest=True)
+        return {
+            "image": image.astype(np.float32) / 255.0,
+            "label": label.astype(np.int32),
+        }
+
+
 class BDDValDataset:
     """BDD night validation (BDDValDataset, :445-498): 704x320 RGB only."""
 

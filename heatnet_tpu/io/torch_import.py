@@ -55,9 +55,18 @@ def _rename_path(parts) -> list:
             p = "bn1"
         elif p.isdigit():
             d = int(p)
-            if prev.startswith("layer"):
-                # torchvision Sequential block index (extractors.py:168-182)
+            if "layer" in prev:
+                # torchvision Sequential block index (extractors.py:168-182;
+                # also RTFNet's encoder_{rgb,thermal}_layerN, RTFNet.py:50-57)
                 p = f"block{d + 1}"
+            elif prev.startswith("deconv") and prev[6:].isdigit():
+                # RTFNet decoder stages deconvN = Sequential(TransBottleneck…)
+                p = f"block{d + 1}"
+            elif prev == "upsample":
+                # TransBottleneck.upsample = Sequential(ConvTranspose2d|Conv2d,
+                # BatchNorm2d) (RTFNet.py:68-80)
+                out.pop()
+                p = "upsample_conv" if d == 0 else "upsample_bn"
             elif prev == "downsample":
                 # downsample = Sequential(Conv2d, BatchNorm2d)
                 out.pop()
@@ -162,13 +171,17 @@ def convert_state_dict(state_dict: Dict[str, Any],
                            "up", "up_seg_2", "up_seg_2_cert", "up_borders_3",
                            "up_inst_2", "deconv", "upsample"),
                        rename_map: Dict[str, str] = None,
+                       transpose_paths: Tuple[str, ...] = (),
                        ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Convert a torch state_dict → (params_flat, batch_stats_flat).
 
     Keys in the result are '/'-joined paths compatible with
     ``heatnet_tpu.io.checkpoint`` flattened trees. Tensors become numpy.
     ``rename_map`` applies model-specific dotted-prefix renames (longest
-    prefix wins) before the generic name rules.
+    prefix wins) before the generic name rules. ``transpose_paths`` lists
+    exact '/'-joined module paths that are ConvTranspose2d despite a name
+    the heuristics treat as Conv2d (e.g. RTFNet's stride-2 TransBottleneck
+    ``conv2``, RTFNet.py:150-156).
     """
     params: Dict[str, np.ndarray] = {}
     stats: Dict[str, np.ndarray] = {}
@@ -198,7 +211,9 @@ def convert_state_dict(state_dict: Dict[str, Any],
         if leaf == "weight":
             if t.ndim == 4:
                 last = path[-1] if path else ""
-                if any(last.startswith(n) for n in transpose_deconv_names):
+                if ("/".join(path) in transpose_paths
+                        or any(last.startswith(n)
+                               for n in transpose_deconv_names)):
                     # ConvTranspose2d (I, O, kh, kw) → (kh, kw, I, O), flipped
                     k = np.flip(t, axis=(2, 3)).transpose(2, 3, 0, 1)
                 else:
@@ -235,14 +250,23 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     return saved
 
 
+def rtfnet_transpose_paths(num_deconv: int = 5) -> Tuple[str, ...]:
+    """RTFNet's upsampling TransBottlenecks use a ConvTranspose2d named
+    ``conv3`` (RTFNet.py:199-202) — only the final block of each deconv
+    stage (block2 of 2)."""
+    return tuple(f"deconv{n}/block2/conv3" for n in range(1, num_deconv + 1))
+
+
 def import_into(target_params, target_stats, state_dict,
                 to_rename: str = "", rename: str = "",
-                rename_map: Dict[str, str] = None) -> Tuple[Any, Any]:
+                rename_map: Dict[str, str] = None,
+                transpose_paths: Tuple[str, ...] = ()) -> Tuple[Any, Any]:
     """Full pipeline: convert names/layouts, optional prefix rewrite,
     intersect into the target trees (initModelRenamed/Partial semantics)."""
     from .checkpoint import _flatten, _unflatten, _shape_ok
 
-    p_flat, s_flat = convert_state_dict(state_dict, rename_map=rename_map)
+    p_flat, s_flat = convert_state_dict(state_dict, rename_map=rename_map,
+                                        transpose_paths=transpose_paths)
     if to_rename or rename:
         p_flat = {k.replace(to_rename, rename): v for k, v in p_flat.items()}
         s_flat = {k.replace(to_rename, rename): v for k, v in s_flat.items()}

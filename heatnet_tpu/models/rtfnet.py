@@ -23,7 +23,9 @@ from .layers import conv, deconv, max_pool_3x3_s2
 
 
 class TransBottleneck(nn.Module):
-    """Decoder bottleneck (RTFNet.py:139-188): 1x1/3x3(or deconv)/1x1."""
+    """Decoder bottleneck (RTFNet.py:190-238): 1x1 conv → 3x3 conv →
+    (2x2 transposed conv when upsampling, else 3x3 conv) with a projection
+    shortcut on the upsampling block."""
 
     planes: int
     stride: int = 1
@@ -40,12 +42,13 @@ class TransBottleneck(nn.Module):
 
         out = conv(self.planes, 1, name="conv1", dtype=dt)(x)
         out = nn.relu(bn("bn1")(out))
-        if self.stride != 1:  # transposed 2x conv in the middle
-            out = deconv(self.planes, 2, 2, 0, name="conv2", dtype=dt)(out)
-        else:
-            out = conv(self.planes, 3, name="conv2", dtype=dt)(out)
+        out = conv(self.planes, 3, name="conv2", dtype=dt)(out)
         out = nn.relu(bn("bn2")(out))
-        out = conv(self.planes, 1, name="conv3", dtype=dt)(out)
+        if self.upsample and self.stride != 1:  # transposed 2x conv
+            out = deconv(self.planes, 2, 2, 0, name="conv3", dtype=dt)(out)
+        else:
+            out = conv(self.planes, 3, stride=self.stride, name="conv3",
+                       dtype=dt)(out)
         out = bn("bn3")(out)
 
         residual = x

@@ -667,3 +667,73 @@ def test_segnetsplit_encoder_decoder_parity():
                             jnp.asarray(np.asarray(out4_j)), train=False)
     np.testing.assert_allclose(np.asarray(dec_out_j), _to_nhwc(dec_out_t),
                                rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_rtfnet_forward_parity():
+    """RTFNet (RTFNet.py:13-238) vs torch. torchvision is stubbed with the
+    reference's own critic_resnet (a faithful torchvision-ResNet copy), so
+    the encoders get the real block structure without network access."""
+    import importlib.util
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.io.torch_import import import_into, rtfnet_transpose_paths
+    from heatnet_tpu.models import RTFNet
+    from heatnet_tpu.train.state import init_model
+
+    _stub_torchvision()
+    tv_resnet = sys.modules.get("torchvision.models.resnet")
+    if tv_resnet is None:
+        tv_resnet = types.ModuleType("torchvision.models.resnet")
+        sys.modules["torchvision.models.resnet"] = tv_resnet
+    tv_resnet.load_state_dict_from_url = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("stub"))
+    sys.modules["torchvision.models"].resnet = tv_resnet
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_critic_resnet2",
+        os.path.join(REFERENCE, "confusion_maximization", "models",
+                     "critic_resnet.py"))
+    cr = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_critic_resnet2"] = cr
+    spec.loader.exec_module(cr)
+    tv_models = sys.modules["torchvision.models"]
+    tv_models.resnet50 = lambda pretrained=False, **k: cr.resnet50(
+        pretrained=False)
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_rtfnet",
+        os.path.join(REFERENCE, "external_models", "rtfnet", "model",
+                     "RTFNet.py"))
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_rtfnet"] = ref
+    spec.loader.exec_module(ref)
+
+    torch.manual_seed(0)
+    model_t = ref.RTFNet(n_class=9).eval()
+    _randomize_bn_stats(model_t)
+
+    model_j = RTFNet(n_class=9, dtype=jnp.float32)
+    x = np.random.RandomState(10).rand(1, 64, 96, 4).astype(np.float32)
+    params, batch_stats = init_model(model_j, jax.random.PRNGKey(0),
+                                     jnp.asarray(x),
+                                     init_kwargs={"train": True})
+    from heatnet_tpu.io.checkpoint import _flatten, _shape_ok
+    from heatnet_tpu.io.torch_import import convert_state_dict
+
+    sd = model_t.state_dict()
+    p_flat, s_flat = convert_state_dict(
+        sd, transpose_paths=rtfnet_transpose_paths())
+    missing = [k for k, v in _flatten(params).items()
+               if not (k in p_flat and _shape_ok(p_flat[k], v))]
+    assert not missing, f"unconverted RTFNet params: {missing[:8]}"
+    params, batch_stats = import_into(
+        params, batch_stats, sd, transpose_paths=rtfnet_transpose_paths())
+
+    with torch.no_grad():
+        y_t = model_t(_nchw(x))
+    y_j = model_j.apply({"params": params, "batch_stats": batch_stats},
+                        jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(y_j), _to_nhwc(y_t),
+                               rtol=2e-3, atol=3e-3)
