@@ -194,3 +194,20 @@ def test_robust_loss_barron():
     want = (b / d) * (np.power(np.square(x / c) / b + 1.0, 0.5 * d) - 1.0)
     np.testing.assert_allclose(ours, want, rtol=1e-5)  # f32 vs f64
     assert ours[0] == 0.0 and np.all(np.diff(ours) > 0)
+
+
+def test_visualize_data_cli(tmp_path):
+    from heatnet_tpu.cli.visualize_data import main
+    from heatnet_tpu.data.synthetic import make_drive_dump
+
+    root = make_drive_dump(str(tmp_path / "drv"), n_drives=1, n_bursts=2,
+                           burst=2)
+    save = tmp_path / "overlays"
+    n = main(["-s", root, "--save-dir", str(save), "--limit", "2"])
+    assert n == 2
+    files = sorted(os.listdir(save))
+    assert len(files) == 6  # 2 bursts x (ir, rgb, overlay)
+    assert any(f.endswith("_overlay.png") for f in files)
+    import cv2
+    ov = cv2.imread(str(save / [f for f in files if "overlay" in f][0]))
+    assert ov is not None and ov.ndim == 3

@@ -196,3 +196,40 @@ def test_optim_schedules():
            "schedule": {"type": "constant"}}
     tx = optim.create_optimizer(cfg)
     assert tx is not None
+
+
+def test_supervised_training_converges():
+    """Optimizer/step correctness: 40 steps on one fixed tiny batch must
+    drive the CE loss down substantially (memorization sanity — catches
+    sign errors, LR plumbing, BN-state loss, gradient masking)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from heatnet_tpu.models import ResNeXtSeg
+    from heatnet_tpu.train.state import TrainState, init_model
+    from heatnet_tpu.train.supervised import make_train_step
+
+    model = ResNeXtSeg(structure=(1, 1, 1, 1), input_channels=3,
+                       classes=5, remat=True)
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 64, 64, 3).astype(np.float32)
+    # learnable labels (a deterministic function of the input); random
+    # per-pixel labels have no signal to descend on in 40 steps
+    lab = (img.mean(-1) * 4.99).astype(np.int32)
+    batch = {"image": img, "label": lab}
+    params, bs = init_model(model, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), None,
+                            init_kwargs={"train": True})
+    state = TrainState.create(model.apply, params, bs, optax.adam(1e-3))
+    step = make_train_step(model)
+
+    first = None
+    for i in range(40):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < first * 0.8, (first, last)
