@@ -15,9 +15,10 @@ Measured design decisions (v5e, tools/bench_grouped_conv.py + this file):
   that matters; the eval loaders do that.
 - Grouped convs: block-diagonal-dense below 16 channels/group, native
   grouped at >=16 (models/layers.py GroupedConvDense table).
-- Batch 64 for throughput: 160.7 fps @8 / 215 @16 / 287 @32 / 322 @64
-  (executed 110+ TFLOP/s, >56% of bf16 peak; the model executes 384
-  GFLOP/frame of which 312.5 GFLOP is useful model work).
+- Batch 128 for throughput: 161 fps @8 / 215 @16 / 287 @32 / 322 @64 /
+  362 @128 / 336 @192 / 315 @256 — 128 is the HBM sweet spot (executed
+  ~125 TFLOP/s, >63% of bf16 peak; the model executes 384 GFLOP/frame of
+  which 312.5 GFLOP is useful model work).
 
 Baseline denominator (the reference publishes no number, BASELINE.md): the
 reference model is 312.5 GFLOP/frame at 320x704 (conv FLOPs via hooks on
@@ -43,7 +44,7 @@ import numpy as np
 BASELINE_FPS_ESTIMATE = 20.0   # see module docstring for the derivation
 MODEL_GFLOP_PER_FRAME = 312.5  # useful conv FLOPs at 320x704 (torch hooks)
 V5E_PEAK_TFLOPS_BF16 = 197.0
-BATCH = 64
+BATCH = 128
 WARMUP = 4
 CHUNKS = 6
 CHUNK_ITERS = 4
