@@ -119,3 +119,25 @@ def mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:
         n -= 1
     return create_mesh(num_devices=max(n, 1) * model_parallel,
                        model_parallel=model_parallel)
+
+
+def shard_params_tp(mesh: Mesh, params, min_channels: int = 64):
+    """Tensor-parallel placement: conv/dense kernels shard their OUTPUT
+    channel (last) dim over the model axis; everything else replicates.
+
+    The reference never tensor-parallelizes (nn.DataParallel only, SURVEY
+    §2.6); this is the TPU-native extension for backbones whose channel
+    counts warrant it. GSPMD inserts the all-gathers/reduce-scatters — the
+    model code is unchanged. Kernels with fewer than ``min_channels``
+    outputs (or not divisible by the axis size) stay replicated.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+
+    def _place(x):
+        if (tp > 1 and hasattr(x, "ndim") and x.ndim >= 2
+                and x.shape[-1] >= min_channels and x.shape[-1] % tp == 0):
+            spec = P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(_place, params)

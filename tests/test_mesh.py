@@ -122,3 +122,27 @@ print("proc", jax.process_index(), "psum ok", total)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     assert any("psum ok" in o for o in outs)
+
+
+def test_shard_params_tp_placement():
+    """TP helper: wide kernels shard their output channels on 'model';
+    small/odd tensors replicate (parallel/mesh.py shard_params_tp)."""
+    import jax.numpy as jnp
+
+    from heatnet_tpu.parallel.mesh import shard_params_tp
+
+    mesh = create_mesh(model_parallel=2)
+    params = {
+        "wide": np.zeros((3, 3, 32, 128), np.float32),
+        "narrow": np.zeros((3, 3, 8, 16), np.float32),
+        "bias": np.zeros((128,), np.float32),
+        "odd": np.zeros((3, 3, 32, 129), np.float32),
+    }
+    placed = shard_params_tp(mesh, params)
+    assert "model" in str(placed["wide"].sharding.spec)
+    assert "model" not in str(placed["narrow"].sharding.spec)
+    assert "model" not in str(placed["bias"].sharding.spec)
+    assert "model" not in str(placed["odd"].sharding.spec)
+    # math is sharding-invariant
+    y = jax.jit(lambda p: sum(jnp.sum(v) for v in p.values()))(placed)
+    assert float(y) == 0.0
