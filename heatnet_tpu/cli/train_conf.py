@@ -322,6 +322,58 @@ def main(argv=None) -> float:
     eval_everyn = opt.eval_everyn or (2 if opt.trainsetname == 'FR' else 20)
     log_everyn = max(opt.log_everyn, 1)
 
+    # --vis: the reference pops cv2 windows per iteration with the day/night
+    # predictions + per-critic verdict dots (:493-523); headless equivalent
+    # renders the same panels to <log_dir>/vis/ at every log point.
+    vis_forward = None
+    if opt.vis:
+        from ..utils.vis import (color_code_labels, draw_critic_labels,
+                                 save_image, vis_depth)
+
+        vis_dir = os.path.join(opt.log_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+
+        @jax.jit
+        def vis_forward(state, batch):
+            variables = {"params": state.params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            ins_day = [batch[k] for k in ("rgb_day", "ir_day")
+                       if k.split("_")[0] in opt.modalities]
+            ins_night = [batch[k] for k in ("rgb_night", "ir_night")
+                         if k.split("_")[0] in opt.modalities]
+            out = model.apply(variables, ins_day, ins_night, train=False)
+            res = {
+                "pred_day": jnp.argmax(out["pred_label_a"], -1)[0],
+                "pred_night": jnp.argmax(out["pred_label_b"], -1)[0],
+            }
+            for side in ("a", "b"):
+                if f"critics_{side}" in out:
+                    res[f"verdicts_{side}"] = jnp.stack(
+                        [jnp.mean(c) > 0.5 for c in out[f"critics_{side}"]])
+            if opt.cert_branch and out.get("cert_a") is not None:
+                res["cert_day"] = out["cert_a"][0, ..., 0]
+            return res
+
+        def render_vis(it, state, batch):
+            v = jax.device_get(vis_forward(state, batch))
+            pd = color_code_labels(v["pred_day"])
+            pn = color_code_labels(v["pred_night"])
+            if "verdicts_a" in v:  # visSegDisc-style dots
+                pd = draw_critic_labels(pd, v["verdicts_a"].tolist())
+                pn = draw_critic_labels(pn, v["verdicts_b"].tolist())
+            save_image(os.path.join(vis_dir, f"{it:07d}_label_day.png"), pd)
+            save_image(os.path.join(vis_dir, f"{it:07d}_label_night.png"), pn)
+            if "rgb" in opt.modalities:
+                save_image(os.path.join(vis_dir, f"{it:07d}_rgb_day.png"),
+                           np.asarray(batch["rgb_day"])[0] * 0.5 + 0.5)
+            if "ir" in opt.modalities:
+                save_image(os.path.join(vis_dir, f"{it:07d}_ir_day.png"),
+                           vis_depth(np.asarray(batch["ir_day"])[0]))
+            if "cert_day" in v:
+                save_image(os.path.join(vis_dir, f"{it:07d}_cert_day.png"),
+                           vis_depth(v["cert_day"]))
+
     meters = {k: AverageMeter() for k in
               ("total_phase1", "total_phase2", "seg", "conf", "critic")}
 
@@ -362,6 +414,8 @@ def main(argv=None) -> float:
                 print("Current loss: %f " % (
                     meters["total_phase1" if phase == "train_seg"
                            else "total_phase2"].avg))
+                if vis_forward is not None:
+                    render_vis(int(state.step), state, batch)
 
         if (epoch % eval_everyn) == 0 and opt.testroot_night and opt.testroot_day:
             v = fresh_variables(state)

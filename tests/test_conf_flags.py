@@ -38,7 +38,7 @@ def roots(tmp_path_factory):
     }
 
 
-def _run(roots, extra, name, capture_params=False):
+def _run(roots, extra, name, capture_params=False, log_dir=None):
     from heatnet_tpu.cli.train_conf import main
 
     ckpt = os.path.join(roots["base"], name)
@@ -46,7 +46,7 @@ def _run(roots, extra, name, capture_params=False):
             "--testroot_day", roots["day"],
             "--testroot_night", roots["night"],
             "--checkpointname", ckpt,
-            "--log_dir", os.path.join(roots["base"], "runs"),
+            "--log_dir", log_dir or os.path.join(roots["base"], "runs"),
             ] + COMMON + extra
     best = main(argv)
     assert os.path.exists(ckpt)
@@ -144,3 +144,18 @@ def test_seg_phase_moves_segnet_not_critics(roots):
     np.testing.assert_allclose(leaf_sums(p1, "trgb_segnet"),
                                leaf_sums(p2, "trgb_segnet"))
     assert not np.allclose(leaf_sums(p1, "critic"), leaf_sums(p2, "critic"))
+
+
+def test_vis_panels(roots):
+    """--vis renders per-iteration panels headlessly (reference cv2 windows,
+    train_trgb_segnet_conf.py:493-523)."""
+    import glob
+
+    log_dir = os.path.join(roots["base"], "runs_vis")
+    _run(roots, ["--vis", "--log_everyn", "1"], "ckpt_vis_extra",
+         log_dir=log_dir)
+    panels = glob.glob(os.path.join(log_dir, "vis", "*.png"))
+    assert panels, "no vis panels rendered"
+    names = {p.split("_", 1)[1] for p in map(os.path.basename, panels)}
+    assert {"label_day.png", "label_night.png", "rgb_day.png",
+            "ir_day.png"} <= names
