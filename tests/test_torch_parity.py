@@ -737,3 +737,64 @@ def test_rtfnet_forward_parity():
                         jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(y_j), _to_nhwc(y_t),
                                rtol=2e-3, atol=3e-3)
+
+
+@pytest.mark.slow
+def test_miou_parity_end_to_end():
+    """North-star leg 2, end to end: the SAME weights evaluated through the
+    reference protocol (torch forward + utils.calculate_ious, :134-163) and
+    through ours (raw-dtype loader → device normalize → validate_model)
+    must produce the SAME per-class IoUs on the same frames."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.data.loaders import (FreiburgThermalTestDataset,
+                                          get_test_paths)
+    from heatnet_tpu.data.synthetic import make_freiburg_test
+    from heatnet_tpu.eval.validate import validate_model
+    from heatnet_tpu.models import ResNeXtSeg
+
+    ref = _ref_trgb()
+    torch.manual_seed(0)
+    model_t = ref.ResNeXt(structure=[1, 1, 1, 1], input_channels=4).eval()
+    _randomize_bn_stats(model_t)
+
+    model_j = ResNeXtSeg(structure=(1, 1, 1, 1), input_channels=4,
+                         dtype=jnp.float32)
+    params, batch_stats = _jax_variables(
+        model_j, [jnp.zeros((1, 320, 704, 3)), jnp.zeros((1, 320, 704, 1))])
+    params, batch_stats = _convert_full(
+        model_t, params, batch_stats,
+        allowed_missing=("up_seg_2_cert", "fuse_seg_cert"))
+
+    with tempfile.TemporaryDirectory() as d:
+        root = make_freiburg_test(os.path.join(d, "fr"), n=3)
+        ds = FreiburgThermalTestDataset(*get_test_paths([root]))
+
+        # ours: the full eval path (uint8/uint16 loader, fused normalize)
+        variables = {"params": params, "batch_stats": batch_stats}
+        ours = validate_model(model_j, variables,
+                              (ds[i] for i in range(len(ds))), "ir_rgb")
+
+        # reference protocol: torch forward on identically-normalized
+        # inputs + utils.calculate_ious over the accumulated maps
+        utils_mod = _ref_conf("utils.py")
+        preds, gts = [], []
+        for i in range(len(ds)):
+            item = ds[i]
+            rgb = (item["rgb"].astype(np.float32) / 255.0 - 0.5) / 0.5
+            ir16 = item["ir"].astype(np.float32)
+            ir = (np.clip(ir16, 21800, 25000) - 21800) / 3200.0
+            ir = (ir - 0.5) / 0.5
+            with torch.no_grad():
+                seg, _, _ = model_t(_nchw(rgb[0][None]), _nchw(ir[0][None]))
+            preds.append(seg.argmax(1))
+            gts.append(torch.from_numpy(item["label"].astype(np.int64)))
+        theirs = utils_mod.calculate_ious(torch.cat(preds), torch.cat(gts))
+
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-7,
+                               err_msg="per-class IoUs diverge between "
+                                       "reference and heatnet_tpu eval")
+    assert np.isclose(np.nanmean(ours), np.nanmean(theirs))
