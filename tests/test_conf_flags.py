@@ -159,3 +159,47 @@ def test_vis_panels(roots):
     names = {p.split("_", 1)[1] for p in map(os.path.basename, panels)}
     assert {"label_day.png", "label_night.png", "rgb_day.png",
             "ir_day.png"} <= names
+
+
+def test_pretraining_handoff(roots, tmp_path_factory):
+    """Vistas pretrain → adversarial trainer handoff: --pretraining loads a
+    supervised checkpoint into the trgb_segnet subtree (conf_segnet.py:80-81,
+    initModelRenamed semantics) — shared backbone weights must transfer."""
+    from heatnet_tpu.cli.main import main as vistas_main
+    from heatnet_tpu.data import synthetic
+    from heatnet_tpu.io.checkpoint import load_checkpoint
+
+    base = str(tmp_path_factory.mktemp("pretrain"))
+    vistas = synthetic.make_vistas(os.path.join(base, "vis"), n=4,
+                                   hw=(96, 160))
+    ckpt_dir = os.path.join(base, "ckpts")
+    vistas_main([
+        "--data", vistas, "--valdata", vistas,
+        "--width", "96", "--height", "64", "--batch-size", "2",
+        "--epochs", "1", "--max-steps-per-epoch", "2",
+        "--structure", "1", "1", "1", "1",
+        "--checkpoint-dir", ckpt_dir,
+        "--log-dir", os.path.join(base, "runs"),
+        "--config", os.path.join(os.path.dirname(__file__),
+                                 "../experiments/heatnet_conf.json"),
+    ])
+    pre_ckpt = os.path.join(ckpt_dir, "checkpoint")
+    assert os.path.exists(pre_ckpt)
+
+    conf_ckpt = _run(roots, ["--pretraining", "--pretraining_path", pre_ckpt],
+                     "ckpt_pretrained")
+
+    # shared backbone subtrees (mod3 blocks: identical geometry in both
+    # models) must carry the pretrained values into the adversarial run
+    pre = load_checkpoint(pre_ckpt)["state_dict"]["params"]
+    post = _load_params(conf_ckpt)["trgb_segnet"]
+    import numpy as np
+
+    pre_k = np.asarray(pre["mod3_1"]["block1"]["conv2"]["kernel"])
+    post_k = np.asarray(post["mod3_1"]["block1"]["conv2"]["kernel"])
+    assert pre_k.shape == post_k.shape
+    # post has trained further, but must be closer to the pretrained values
+    # than a fresh init would be (exact equality only pre-training; cheap
+    # proxy: correlation with the pretrained kernel is high)
+    corr = np.corrcoef(pre_k.ravel(), post_k.ravel())[0, 1]
+    assert corr > 0.9, corr
