@@ -15,10 +15,11 @@ Measured design decisions (v5e, tools/bench_grouped_conv.py + this file):
   that matters; the eval loaders do that.
 - Grouped convs: block-diagonal-dense below 16 channels/group, native
   grouped at >=16 (models/layers.py GroupedConvDense table).
-- Batch 128 for throughput: 161 fps @8 / 215 @16 / 287 @32 / 322 @64 /
-  362 @128 / 336 @192 / 315 @256 — 128 is the HBM sweet spot (executed
-  ~125 TFLOP/s, >63% of bf16 peak; the model executes 384 GFLOP/frame of
-  which 312.5 GFLOP is useful model work).
+- Grouped-conv dispatch is work-volume aware (native iff cpg >= 4 and
+  N*H*W*cpg >= 4e5; GroupedConvDense table): at batch 128 that lifts
+  357 -> 415 fps over a fixed channels-per-group threshold.
+- Batch 128 for throughput: 157 fps @8 / 342 @64 / 415 @128 / 374 @192 /
+  356 @256 — 128 is the HBM sweet spot (~66% useful-FLOPs MFU).
 
 Baseline denominator (the reference publishes no number, BASELINE.md): the
 reference model is 312.5 GFLOP/frame at 320x704 (conv FLOPs via hooks on

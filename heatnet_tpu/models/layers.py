@@ -84,22 +84,24 @@ class GroupedConvDense(nn.Module):
     MXU with tiny per-group contractions; expanding the grouped kernel into
     a block-diagonal dense kernel wastes ``groups``x FLOPs on structural
     zeros but runs at dense MXU throughput. Which wins depends on channels
-    per group — measured per grouped 3x3 conv, ResNeXt-50 trgb stages,
-    batch 8 bf16, v5e (tools/bench_grouped_conv.py):
+    per group AND total work volume — measured per grouped 3x3 conv,
+    ResNeXt-50 trgb stages, bf16, v5e (tools/bench_grouped_conv.py):
 
-    ========== ========= ======== ========== ==========
-    stage      ch/group  dense    native     im2col-mm
-    ========== ========= ======== ========== ==========
-    mod2       2         2.08 ms  5.56 ms    8.02 ms
-    mod3       4         2.58 ms  2.68 ms    4.44 ms
-    mod4 (d2)  8         3.20 ms  5.32 ms    8.00 ms
-    mod5 (d4)  16        11.25 ms **4.66 ms** 5.82 ms
-    ========== ========= ======== ========== ==========
+    ========== ========= ================= ===================
+    stage      ch/group  batch 8 dense/nat batch 128 dense/nat
+    ========== ========= ================= ===================
+    mod2       2         **2.08** / 5.56   **5.80** / 7.63
+    mod3       4         **2.58** / 2.68   5.65 / **3.52**
+    mod4 (d2)  8         **3.20** / 5.32   14.6 / **5.66**
+    mod5 (d4)  16        11.25 / **4.66**  50.1 / **10.8**
+    ========== ========= ================= ===================
 
-    The dispatch is trace-time (static shapes) and both paths share the
-    grouped parameter layout (kh, kw, cin/g, features), so torch checkpoints
-    import unchanged and the choice never affects numerics beyond bf16
-    accumulation order.
+    Native grouped needs enough spatial elements to fill MXU tiles per
+    group; the dispatch rule fitting all measured points is
+    ``native iff cpg >= 4 and N*H*W*cpg >= 4e5`` (trace-time, static
+    shapes). Both paths share the grouped parameter layout
+    (kh, kw, cin/g, features), so torch checkpoints import unchanged and
+    the choice never affects numerics beyond bf16 accumulation order.
     """
 
     features: int
@@ -111,21 +113,24 @@ class GroupedConvDense(nn.Module):
     dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
 
-    dense_below: int = 16  # ch/group threshold: dense < 16 <= native
+    min_cpg_native: int = 4       # below this the MXU can't win per group
+    min_work_native: int = 400_000  # N*H*W*cpg crossover (see table)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         import os
 
         g = self.groups
-        cin = x.shape[-1]
+        n, h, w, cin = x.shape
         cin_pg, out_pg = cin // g, self.features // g
         kern = self.param(
             "kernel", self.kernel_init,
             (self.kernel, self.kernel, cin_pg, self.features), jnp.float32)
         pad = ((self.padding, self.padding),) * 2
 
-        use_native = (cin_pg >= self.dense_below
+        work = n * h * w * cin_pg
+        use_native = ((cin_pg >= self.min_cpg_native
+                       and work >= self.min_work_native)
                       or os.environ.get("HEATNET_NATIVE_GROUPS", "0") == "1")
         if use_native:
             rhs, fgc = kern.astype(self.dtype), g

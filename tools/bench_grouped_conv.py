@@ -22,7 +22,8 @@ import time
 
 import numpy as np
 
-BATCH = 8
+import os
+BATCH = int(os.environ.get('BENCH_BATCH', 8))
 GROUPS = 64
 STAGES = [
     ("mod2", 128, (80, 176), 1),
@@ -71,6 +72,8 @@ def main() -> None:
         return jnp.einsum("nhwkgc,kcgo->nhwgo", cols, kg).reshape(n, h, w, c)
 
     impls = {"dense": dense_impl, "native": native_impl, "matmul": matmul_impl}
+    if BATCH > 32:
+        impls.pop("matmul")  # im2col copy OOMs at large batch
     results = {}
     rng = np.random.RandomState(0)
     for stage, c, (h, w), dil in STAGES:

@@ -13,11 +13,15 @@ very spilling the per-stage remat removes (measured: vistas batch-30 is
 166 ms/step in a fresh process vs ~1.4 s/step after the adversarial
 sections ran in the same process).
 
-Measured v5e numbers (2026-08-16, remat=True, per-config subprocess):
-  adv  B=4  seg 20.4 ms / critic 37.9 ms      (106-196 fps)
-  adv  B=16 seg 143.1 ms / critic 185.4 ms    (critic was 1015 ms pre-remat)
-  vistas B=8  47.3 ms  (vs 85 pre-remat)
-  vistas B=30 173.8 ms (vs 1466 pre-remat — 8.4x from remat alone)
+Measured v5e numbers (2026-08-16, remat=True + work-volume grouped-conv
+dispatch, per-config subprocess):
+  adv  B=4  seg 11.1 ms / critic 16.1 ms      (249-360 fps)
+  adv  B=16 seg 74.2 ms / critic 64.8 ms      (critic was 1015 ms pre-remat)
+  vistas B=8  24.9 ms  (vs 85 at round start)
+  vistas B=30 88.0 ms  (vs 1466 at round start — 16.7x: remat 8.4x, then
+  grouped-conv dispatch 2x — dense block-diagonal kernels pay the 64x
+  structural-zero tax in BOTH gradient convs, so training favors native
+  grouped far more than the forward-only microbench suggested)
 
 Run: `python tools/bench_train_step.py [adv_batches ...]`.
 """
