@@ -141,3 +141,16 @@ def shard_params_tp(mesh: Mesh, params, min_channels: int = 64):
         return jax.device_put(x, replicated(mesh))
 
     return jax.tree_util.tree_map(_place, params)
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the HEIGHT dim of NHWC images over the data axis.
+
+    The CNN analog of sequence parallelism (SURVEY §2.6/§5: no attention in
+    this family, so the spatial extent is the long axis): a single large
+    frame is split across chips and GSPMD inserts the halo exchanges the
+    3x3/7x7 convs need at shard boundaries. Useful for batch-1 latency on
+    frames too large for one chip; numerically identical to unsharded
+    execution (tests/test_mesh.py::test_spatial_sharding_matches_unsharded).
+    """
+    return NamedSharding(mesh, P(None, DATA_AXIS))

@@ -146,3 +146,36 @@ def test_shard_params_tp_placement():
     # math is sharding-invariant
     y = jax.jit(lambda p: sum(jnp.sum(v) for v in p.values()))(placed)
     assert float(y) == 0.0
+
+
+def test_spatial_sharding_matches_unsharded():
+    """Height-sharded single-frame inference == unsharded (GSPMD halo
+    exchange around conv shard boundaries; parallel.mesh.spatial_sharding)."""
+    import jax.numpy as jnp
+
+    from heatnet_tpu.models import ResNeXtSeg
+    from heatnet_tpu.parallel.mesh import spatial_sharding
+    from heatnet_tpu.train.state import init_model
+
+    mesh = create_mesh()
+    model = ResNeXtSeg(structure=(1, 1, 1, 1), input_channels=3,
+                       dtype=jnp.float32)
+    x = np.random.RandomState(0).rand(1, 128, 64, 3).astype(np.float32)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                     jnp.asarray(x),
+                                     init_kwargs={"train": True})
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+
+    @jax.jit
+    def forward(img):
+        seg, _, _ = model.apply(variables, img, train=False)
+        return seg
+
+    ref = np.asarray(forward(jnp.asarray(x)))
+    x_sharded = jax.device_put(jnp.asarray(x), spatial_sharding(mesh))
+    assert len(x_sharded.addressable_shards) == 8
+    assert x_sharded.addressable_shards[0].data.shape == (1, 16, 64, 3)
+    out = np.asarray(forward(x_sharded))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
