@@ -48,7 +48,8 @@ def main(argv=None) -> float:
     from ..io.checkpoint import save_checkpoint
     from ..io.logging import AverageMeter, RunLogger
     from ..models import Discriminator, Generator, ResNeXtSeg
-    from ..train.cyclegan import CycleGANState, ReplayBuffer, make_cyclegan_steps
+    from ..train.cyclegan import (CycleGANState, DeviceReplayBuffer,
+                                  make_cyclegan_steps)
     from ..train.optim import lambda_linear_decay
 
     enable_compilation_cache()
@@ -90,7 +91,14 @@ def main(argv=None) -> float:
 
     g_step, d_a_step, d_b_step = make_cyclegan_steps(
         gen_a2b, gen_b2a, disc_a, disc_b, seg_net)
-    buf_a, buf_b = ReplayBuffer(), ReplayBuffer()
+    # device-resident replay buffers: the host variant costs a device_get
+    # (one relay round-trip) per step (train/cyclegan.DeviceReplayBuffer);
+    # shapes come from the first generator output (the loader's frame size)
+    buf_a = buf_b = None
+    replay = jax.jit(lambda ba, bb, fa, fb, k: (
+        *ba.push_and_pop(fa, jax.random.fold_in(k, 0)),
+        *bb.push_and_pop(fb, jax.random.fold_in(k, 1))))
+    rng = jax.random.PRNGKey(opt.epoch)
 
     meters = {k: AverageMeter() for k in ("loss_G", "loss_D")}
     os.makedirs(opt.checkpoint_dir, exist_ok=True)
@@ -101,8 +109,11 @@ def main(argv=None) -> float:
                 break
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             state, fake_a, fake_b, metrics = g_step(state, jb)
-            fa = jnp.asarray(buf_a.push_and_pop(np.asarray(fake_a)))
-            fb = jnp.asarray(buf_b.push_and_pop(np.asarray(fake_b)))
+            if buf_a is None:
+                buf_a = DeviceReplayBuffer.create(50, fake_a.shape[1:])
+                buf_b = DeviceReplayBuffer.create(50, fake_b.shape[1:])
+            rng, k = jax.random.split(rng)
+            buf_a, fa, buf_b, fb = replay(buf_a, buf_b, fake_a, fake_b, k)
             state, loss_da = d_a_step(state, jb["A"], fa)
             state, loss_db = d_b_step(state, jb["B"], fb)
             meters["loss_G"].update(float(metrics["loss_G"]))

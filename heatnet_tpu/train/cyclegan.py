@@ -51,6 +51,50 @@ class ReplayBuffer:
         return np.concatenate(out, axis=0)
 
 
+class DeviceReplayBuffer(struct.PyTreeNode):
+    """ReplayBuffer (utils.py:92-112) living on device, fully jittable.
+
+    The host buffer forces one ``device_get`` per generator step to feed the
+    discriminators — through the remote-dispatch relay that is ~25 ms per
+    sync. This version keeps the history as a device array and threads a
+    PRNG key; semantics match the reference: while not full, append and
+    pass through; once full, with p=0.5 swap a random slot and emit the old
+    element, else pass through.
+    """
+
+    data: jax.Array  # (max_size, H, W, C)
+    size: jax.Array  # ()
+
+    @classmethod
+    def create(cls, max_size: int, item_shape, dtype=jnp.float32):
+        return cls(data=jnp.zeros((max_size, *item_shape), dtype),
+                   size=jnp.zeros((), jnp.int32))
+
+    def push_and_pop(self, batch: jax.Array, key: jax.Array):
+        """batch (B, H, W, C) → (new_buffer, out (B, H, W, C))."""
+        max_size = self.data.shape[0]
+
+        def one(carry, inp):
+            data, size = carry
+            element, k = inp
+            k1, k2 = jax.random.split(k)
+            not_full = size < max_size
+            idx_new = jnp.minimum(size, max_size - 1)
+            swap = jax.random.uniform(k1) > 0.5
+            idx_old = jax.random.randint(k2, (), 0, max_size)
+            idx = jnp.where(not_full, idx_new, jnp.where(swap, idx_old, 0))
+            old = data[idx]
+            do_store = not_full | swap
+            data = jnp.where(do_store, data.at[idx].set(element), data)
+            out = jnp.where(not_full | ~swap, element, old)
+            return (data, jnp.minimum(size + 1, max_size)), out
+
+        keys = jax.random.split(key, batch.shape[0])
+        (data, size), out = jax.lax.scan(
+            one, (self.data, self.size), (batch.astype(self.data.dtype), keys))
+        return DeviceReplayBuffer(data=data, size=size), out
+
+
 class CycleGANState(struct.PyTreeNode):
     step: jax.Array
     g_params: Any          # {netG_A2B, netG_B2A, netSeg(+stats separate)}

@@ -105,3 +105,38 @@ def test_uncertainty_trainer_step():
     assert np.isfinite(float(metrics["Segmentation Loss"]))
     assert np.isfinite(float(metrics["Uncertainty Loss"]))
     assert int(state.step) == 1
+
+
+def test_device_replay_buffer_semantics():
+    """DeviceReplayBuffer matches the reference ReplayBuffer protocol
+    (utils.py:92-112): pass-through while filling; once full, p=.5 swap
+    with a random slot and emit the stored element."""
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.train.cyclegan import DeviceReplayBuffer
+
+    buf = DeviceReplayBuffer.create(4, (2, 2, 1))
+    push = jax.jit(lambda b, x, k: b.push_and_pop(x, k))
+
+    # filling phase: always pass-through, size grows
+    outs = []
+    for i in range(4):
+        x = jnp.full((1, 2, 2, 1), float(i))
+        buf, out = push(buf, x, jax.random.PRNGKey(i))
+        outs.append(float(out[0, 0, 0, 0]))
+    assert outs == [0.0, 1.0, 2.0, 3.0]
+    assert int(buf.size) == 4
+
+    # full phase: output is either the new element or one of the stored
+    got_old = got_new = False
+    for i in range(40):
+        x = jnp.full((1, 2, 2, 1), 100.0 + i)
+        buf, out = push(buf, x, jax.random.PRNGKey(1000 + i))
+        v = float(out[0, 0, 0, 0])
+        if v == 100.0 + i:
+            got_new = True
+        else:
+            got_old = True
+        assert int(buf.size) == 4
+    assert got_old and got_new  # both branches exercised
