@@ -15,9 +15,13 @@ from glob import glob
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
-    p.add_argument('--vistas_root', required=True,
+    p.add_argument('--print_labels', action='store_true',
+                   help='print the class ids + Vistas→IROS mapping '
+                        '(print_label_names.py surface) and exit')
+    p.add_argument('--vistas_root', required=False, default='',
                    help='Mapillary Vistas root (training/images + v1.2/instances)')
-    p.add_argument('--out', required=True, help='output dataset directory')
+    p.add_argument('--out', required=False, default='',
+                   help='output dataset directory')
     p.add_argument('--width', type=int, default=1024)
     p.add_argument('--limit', type=int, default=None)
     p.add_argument('--use_native', action='store_true', default=True)
@@ -25,8 +29,25 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def print_labels() -> None:
+    """Class ids + Vistas→IROS mapping (print_label_names.py:1-23)."""
+    from ..data.mappings import CLASS_NAMES, VISTAS_TO_HEATNET
+
+    for i, name in enumerate(CLASS_NAMES):
+        print('ID: %i: %s' % (i, name))
+    print('################ Mapping ############################')
+    for i, name in enumerate(CLASS_NAMES):
+        srcs = sorted(k for k, v in VISTAS_TO_HEATNET.items() if v == i)
+        print('Map: %s -> vistas ids %s' % (name, srcs))
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.print_labels:
+        print_labels()
+        return 0
+    if not args.vistas_root or not args.out:
+        raise SystemExit("--vistas_root and --out are required")
 
     import cv2
     import numpy as np

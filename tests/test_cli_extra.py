@@ -211,3 +211,12 @@ def test_visualize_data_cli(tmp_path):
     import cv2
     ov = cv2.imread(str(save / [f for f in files if "overlay" in f][0]))
     assert ov is not None and ov.ndim == 3
+
+
+def test_generate_vistas_print_labels(capsys):
+    from heatnet_tpu.cli.generate_vistas import main
+
+    assert main(["--print_labels"]) == 0
+    out = capsys.readouterr().out
+    assert "ID: 0: road,parking" in out
+    assert "Mapping" in out and "vistas ids" in out
