@@ -99,9 +99,21 @@ class GroupedConvDense(nn.Module):
     Native grouped needs enough spatial elements to fill MXU tiles per
     group; the dispatch rule fitting all measured points is
     ``native iff cpg >= 4 and N*H*W*cpg >= 4e5`` (trace-time, static
-    shapes). Both paths share the grouped parameter layout
+    shapes). All paths share the grouped parameter layout
     (kh, kw, cin/g, features), so torch checkpoints import unchanged and
     the choice never affects numerics beyond bf16 accumulation order.
+
+    Third path, opt-in only: for the C==128 / dilation-1 / stride-1
+    regime (ResNeXt mod2, cpg=2) a Pallas kernel doing the same
+    block-diagonal matmuls with the image staged once in VMEM beats
+    XLA's im2col dense lowering at the STAGE level by ~8% (5.40ms vs
+    5.84ms per conv, batch 128, v5e) but LOSES end-to-end (353 vs 414
+    fps on the flagship bench): the opaque custom call breaks XLA's
+    fusion of the surrounding BN/activation elementwise work, costing
+    more than the kernel saves. ``auto`` therefore never picks it;
+    ``HEATNET_GC_IMPL=pallas`` forces it where applicable, and
+    ops/pallas_grouped_conv.py records the full measurement story.
+    ``HEATNET_GC_IMPL=dense|native`` force the XLA forms.
     """
 
     features: int
@@ -128,10 +140,24 @@ class GroupedConvDense(nn.Module):
             (self.kernel, self.kernel, cin_pg, self.features), jnp.float32)
         pad = ((self.padding, self.padding),) * 2
 
+        impl = os.environ.get("HEATNET_GC_IMPL", "auto")
+        if os.environ.get("HEATNET_NATIVE_GROUPS", "0") == "1":
+            impl = "native"  # back-compat alias
+        pallas_ok = (
+            self.kernel == 3 and self.stride == 1 and self.dilation == 1
+            and cin == self.features and cin == 128
+            and self.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and impl == "pallas")
+        if pallas_ok:
+            from heatnet_tpu.ops.pallas_grouped_conv import grouped_conv3x3
+            return grouped_conv3x3(x, kern, g, self.dilation, self.dtype)
+
         work = n * h * w * cin_pg
-        use_native = ((cin_pg >= self.min_cpg_native
-                       and work >= self.min_work_native)
-                      or os.environ.get("HEATNET_NATIVE_GROUPS", "0") == "1")
+        use_native = (impl == "native"
+                      or (impl == "auto"
+                          and cin_pg >= self.min_cpg_native
+                          and work >= self.min_work_native))
         if use_native:
             rhs, fgc = kern.astype(self.dtype), g
         else:

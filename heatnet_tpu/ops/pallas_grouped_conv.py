@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: grouped 3x3 conv via block-diagonal MXU matmuls.
+
+The ResNeXt blocks' grouped 3x3 convs (reference models/segnet.py:44-124,
+trgb_segnet.py groups=64) occupy ~30% of flagship inference wall time for
+<1% of useful FLOPs, because a 64-group conv maps badly onto the 128x128
+MXU: per-group matmuls have K = 9*cpg and N = cpg (both tiny), and every
+reformulation trades structural-zero FLOPs against tile quantization.
+
+Tile math at the flagship shapes (M = N*H*W rows, v5e, bf16):
+
+- XLA native grouped  : 64 per-group matmuls, ceil(9*cpg/128) K-tiles
+                        each -> tile-optimal for cpg >= 8, and measured
+                        within ~15% of its tile bound (mod5: 10.9ms vs a
+                        9.5ms bound at batch 128) -- XLA keeps those.
+- block-diagonal dense: one matmul, K = 9*C, N = C. For C = 128 (cpg 2)
+                        this is THE tile-optimal form (9 MXU passes cover
+                        all 64 groups), but XLA lowers it im2col-style and
+                        re-reads the activation ~9x from HBM: measured
+                        5.84ms at batch 128 vs a 2.7ms MXU-tile bound.
+- THIS KERNEL         : same block-diagonal math; the padded image is
+                        staged once into VMEM per grid step, the nine
+                        shifted views are VMEM slices, one (rows x C) @
+                        (C x C) matmul per tap accumulated in f32.
+
+Measured on the real v5e chip, batch 128, mod2 shape 128ch 80x176
+(tools/bench_grouped_conv.py): **pallas 5.40ms vs XLA dense 5.84ms vs
+XLA native-grouped 7.53ms** -- an 8% stage win, well short of the 2.7ms
+tile bound. Variants measured on the way (all slower or unsupported):
+
+- manual double-buffered row-chunk DMA (grid N x H/rc): 7.40ms -- per-step
+  overhead dominates at the ~10us step sizes these shapes allow.
+- rank-3 dot_general per tap (no reshape): 5.46ms.
+- single K=9C matmul over a scratch im2col: 5.78ms -- the nine
+  sublane-misaligned VMEM stores cost more than the per-tap f32
+  accumulate they replace; Mosaic cannot concatenate misaligned slices
+  directly (tpu.concatenate layout error).
+
+The residual 2x gap to the tile bound is the per-tap f32 accumulator
+read-modify-write through the VPU (the MXU only accumulates internally
+within one contraction) plus Mosaic relayout of the shifted W slices;
+both are structural to Mosaic's current lowering, documented here so the
+next round doesn't re-derive them.
+
+The per-tap block-diagonal matrices are built at trace time from the
+grouped kernel (9 x C x C -- 300KB VMEM at C=128), so the parameter
+layout stays the grouped (3, 3, cpg, C) one and torch checkpoint import
+is unaffected.
+
+END-TO-END VERDICT (why this is opt-in, not default): with the kernel
+dispatched for the mod2 stages the flagship bench DROPS from 414 to 353
+fps -- the opaque custom call breaks XLA's fusion of the surrounding
+BN/activation elementwise chain, which costs more than the 8% stage win.
+GroupedConvDense's ``auto`` dispatch therefore keeps the XLA forms;
+``HEATNET_GC_IMPL=pallas`` forces this kernel where applicable. Kept
+(tested, differentiable) because the measurement story is the point: a
+Pallas rewrite of a single op inside a fused conv pipeline must beat XLA
+by more than the fusion it forfeits.
+
+Constraints: stride 1 (all grouped convs in this model family are
+stride-1 by construction -- stride lives in the preceding 1x1), 3x3
+kernel, C % 128 == 0 for MXU lane alignment.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _block_diag_taps(kern: jax.Array, groups: int, dtype: Any) -> jax.Array:
+    """(3, 3, cpg, C) grouped kernel -> (9, C, C) per-tap block-diagonal.
+
+    taps[t, ci, co] = kern[t//3, t%3, ci - (co//cpg)*cpg, co] within the
+    diagonal block (ci//cpg == co//cpg), else 0.
+    """
+    kh, kw, cpg, c = kern.shape
+    k5 = kern.astype(dtype).reshape(kh * kw, cpg, groups, c // groups)
+    eye = jnp.eye(groups, dtype=dtype)
+    # (t, cpg, g, opg), (G, g) -> (t, G, cpg, g, opg) -> (t, C, C)
+    taps = jnp.einsum("tcgo,Gg->tGcgo", k5, eye)
+    return taps.reshape(kh * kw, c, c)
+
+
+def _kernel(x_ref, taps_ref, out_ref, *, dil: int, rc: int):
+    """One batch item per grid step: x_ref (1, H+2d+pad, W+2d, C) in VMEM."""
+    _, hp, wp, c = x_ref.shape
+    h, w = hp - 2 * dil, wp - 2 * dil
+
+    for chunk in range(h // rc):
+        r0 = chunk * rc
+        acc = jnp.zeros((rc * w, c), jnp.float32)
+        for t in range(9):
+            i, j = divmod(t, 3)
+            xs = x_ref[0, r0 + i * dil:r0 + i * dil + rc,
+                       j * dil:j * dil + w, :]
+            acc += jax.lax.dot_general(
+                xs.reshape(rc * w, c), taps_ref[t],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[0, r0:r0 + rc, :, :] = (
+            acc.reshape(rc, w, c).astype(out_ref.dtype))
+
+
+def grouped_conv3x3_blockdiag(
+    x: jax.Array,
+    kern: jax.Array,
+    *,
+    groups: int,
+    dilation: int = 1,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grouped 3x3 stride-1 'same' conv, NHWC, via the Pallas kernel.
+
+    x: (N, H, W, C); kern: (3, 3, C//groups, C) (grouped HWIO layout, the
+    same parameters GroupedConvDense owns). Returns (N, H, W, C) in
+    ``dtype`` with f32 accumulation per tap.
+    """
+    n, h, w, c = x.shape
+    if c % 128 != 0 or kern.shape[:2] != (3, 3) or kern.shape[3] != c:
+        raise ValueError(f"unsupported shapes x={x.shape} kern={kern.shape}")
+    d = dilation
+
+    # Row chunking keeps the f32 accumulator ~<=1.5MB of VMEM; H is padded
+    # to a multiple (padded rows are computed then discarded).
+    rc = max(4, min(h, int(1.5e6) // (w * c * 4)))
+    h_pad = -h % rc
+    taps = _block_diag_taps(kern, groups, dtype)
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (d, d + h_pad), (d, d), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, dil=d, rc=rc),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h + h_pad + 2 * d, w + 2 * d, c),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, c, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h + h_pad, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h + h_pad, w, c), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * (h + h_pad) * w * c * c * 9,
+            bytes_accessed=xp.size * xp.dtype.itemsize
+            + n * h * w * c * np.dtype(dtype).itemsize
+            + taps.size * taps.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, taps)
+    return out[:, :h] if h_pad else out
+
+
+def _dense_reference(x, kern, groups, dilation, dtype):
+    """Differentiable block-diagonal dense formulation (same math)."""
+    kh, kw, cpg, c = kern.shape
+    k5 = kern.astype(dtype).reshape(kh, kw, cpg, groups, c // groups)
+    eye = jnp.eye(groups, dtype=dtype)
+    rhs = jnp.einsum("hkcgo,Gg->hkGcgo", k5, eye).reshape(kh, kw, c, c)
+    d = dilation
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), rhs, (1, 1), ((d, d), (d, d)),
+        rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def grouped_conv3x3(x, kern, groups, dilation, dtype):
+    """Differentiable grouped 3x3 conv: Pallas forward, dense-form VJP.
+
+    The backward pass differentiates ``_dense_reference`` (identical
+    math), so training through this op costs exactly what the dense
+    path's gradients already cost while the forward ride the kernel.
+    """
+    return grouped_conv3x3_blockdiag(
+        x, kern, groups=groups, dilation=dilation, dtype=dtype)
+
+
+def _fwd(x, kern, groups, dilation, dtype):
+    return grouped_conv3x3(x, kern, groups, dilation, dtype), (x, kern)
+
+
+def _bwd(groups, dilation, dtype, res, g):
+    x, kern = res
+    _, vjp = jax.vjp(
+        lambda xx, kk: _dense_reference(xx, kk, groups, dilation, dtype),
+        x, kern)
+    dx, dk = vjp(g)
+    return dx.astype(x.dtype), dk.astype(kern.dtype)
+
+
+grouped_conv3x3.defvjp(_fwd, _bwd)

@@ -71,7 +71,13 @@ def main() -> None:
         kg = kern.reshape(9, cpg, GROUPS, cpg)  # (9, cin_pg, g, out_pg)
         return jnp.einsum("nhwkgc,kcgo->nhwgo", cols, kg).reshape(n, h, w, c)
 
-    impls = {"dense": dense_impl, "native": native_impl, "matmul": matmul_impl}
+    def pallas_impl(x, kern, dil):
+        from heatnet_tpu.ops.pallas_grouped_conv import grouped_conv3x3_blockdiag
+        return grouped_conv3x3_blockdiag(x, kern, groups=GROUPS, dilation=dil,
+                                         dtype=dtype)
+
+    impls = {"dense": dense_impl, "native": native_impl,
+             "matmul": matmul_impl, "pallas": pallas_impl}
     if BATCH > 32:
         impls.pop("matmul")  # im2col copy OOMs at large batch
     results = {}
