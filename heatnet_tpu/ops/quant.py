@@ -1,0 +1,50 @@
+"""Post-training int8 calibration for the opt-in serving mode.
+
+Workflow (see models/layers.Int8Conv for the quantization scheme and the
+measured reasoning):
+
+    os.environ["HEATNET_QUANT"] = "int8"   # before model construction
+    model = ResNeXtSeg(...)
+    variables = {"params": ..., "batch_stats": ...}      # bf16-trained
+    variables = calibrate_int8(model.apply, variables, calib_batches)
+    out = model.apply(variables, *inputs)                # int8 serving
+
+Calibration runs the model with the ``quant`` collection mutable; every
+Int8Conv records a running max of its activation scale across the
+calibration batches. The returned variables carry the static scales, so
+serving applies are pure (no reductions added to the graph).
+
+The reference has no quantization story (it serves fp32 torch,
+scripts/inference.py:125-131); this is a TPU-era capability on top of
+parity, kept strictly opt-in because the north-star mIoU contract is
+defined at bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+
+def calibrate_int8(
+    apply_fn: Callable,
+    variables: Mapping[str, Any],
+    batches: Iterable[Sequence[Any]],
+    **apply_kwargs: Any,
+):
+    """Run calibration batches, returning variables with static scales.
+
+    ``batches`` yields positional-argument tuples for ``apply_fn`` (e.g.
+    ``(rgb, ir)`` pairs for the two-stream models). Scales accumulate as
+    a running max across batches. Extra ``apply_kwargs`` are forwarded
+    (e.g. ``train=False``).
+    """
+    variables = dict(variables)
+    for batch in batches:
+        if not isinstance(batch, (tuple, list)):
+            batch = (batch,)
+        _, updated = apply_fn(variables, *batch, mutable=["quant"],
+                              **apply_kwargs)
+        variables["quant"] = updated["quant"]
+    if "quant" not in variables:
+        raise ValueError("calibration saw no batches")
+    return variables

@@ -1,0 +1,139 @@
+"""Int8 serving mode: Int8Conv / GroupedConvDense quant path / calibrate_int8.
+
+The reference has no quantization story (fp32 torch serving,
+scripts/inference.py:125-131); this is a TPU-era opt-in capability. The
+contract under test:
+
+1. bf16/f32-trained checkpoints serve unchanged — Int8Conv shares the f32
+   ``kernel`` param layout with nn.Conv, GroupedConvDense keeps its grouped
+   layout — so flipping HEATNET_QUANT=int8 needs no weight conversion.
+2. Calibration (``calibrate_int8``) records static activation scales as a
+   running max over batches into the ``quant`` collection.
+3. Calibrated int8 outputs track the float path within per-tensor-symmetric
+   quantization error.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heatnet_tpu.models.layers import conv, GroupedConvDense, Int8Conv
+from heatnet_tpu.ops.quant import calibrate_int8
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture
+def int8_env(monkeypatch):
+    monkeypatch.setenv("HEATNET_QUANT", "int8")
+
+
+def _rel_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+
+
+def test_conv_routes_to_int8(int8_env):
+    m = conv(8, 3, dtype=jnp.bfloat16)
+    assert isinstance(m, Int8Conv)
+
+
+def test_conv_routes_float_without_env(monkeypatch):
+    monkeypatch.delenv("HEATNET_QUANT", raising=False)
+    m = conv(8, 3, dtype=jnp.bfloat16)
+    assert not isinstance(m, Int8Conv)
+
+
+def test_int8_conv_matches_float_after_calibration(int8_env, monkeypatch):
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4), jnp.float32)
+
+    # Init under int8 (same param tree as nn.Conv: f32 "kernel").
+    q = conv(8, 3, use_bias=True, dtype=jnp.float32)
+    variables = q.init({"params": KEY}, x)
+    assert variables["params"]["kernel"].dtype == jnp.float32
+    assert variables["quant"]["x_scale"].shape == ()
+
+    variables = calibrate_int8(q.apply, variables, [(x,)])
+    assert float(variables["quant"]["x_scale"]) > 0.0
+    out_q = q.apply(variables, x)
+
+    # Same params through the float path.
+    monkeypatch.delenv("HEATNET_QUANT")
+    f = conv(8, 3, use_bias=True, dtype=jnp.float32)
+    out_f = f.apply({"params": variables["params"]}, x)
+
+    assert out_q.shape == out_f.shape
+    # per-tensor-symmetric int8: ~1% of dynamic range is the expected error
+    assert _rel_err(out_q, out_f) < 0.05
+
+
+def test_grouped_conv_int8_matches_float(int8_env, monkeypatch):
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 16), jnp.float32)
+    for impl in ("dense", "native"):
+        monkeypatch.setenv("HEATNET_GC_IMPL", impl)
+        g = GroupedConvDense(features=16, kernel=3, groups=4, padding=1,
+                             dtype=jnp.float32)
+        variables = g.init({"params": KEY}, x)
+        variables = calibrate_int8(g.apply, variables, [(x,)])
+        out_q = g.apply(variables, x)
+
+        monkeypatch.delenv("HEATNET_QUANT")
+        out_f = g.apply({"params": variables["params"]}, x)
+        monkeypatch.setenv("HEATNET_QUANT", "int8")
+
+        assert out_q.shape == out_f.shape
+        assert _rel_err(out_q, out_f) < 0.05, impl
+
+
+def test_calibration_running_max(int8_env):
+    small = jnp.full((1, 8, 8, 4), 0.5, jnp.float32)
+    big = jnp.full((1, 8, 8, 4), 4.0, jnp.float32)
+    q = conv(8, 3, dtype=jnp.float32)
+    variables = q.init({"params": KEY}, small)
+
+    variables = calibrate_int8(q.apply, variables, [(small,), (big,), (small,)])
+    # running max across batches: scale set by the largest activation
+    np.testing.assert_allclose(
+        float(variables["quant"]["x_scale"]), 4.0 / 127.0, rtol=1e-6)
+
+
+def test_calibration_requires_batches():
+    with pytest.raises(ValueError):
+        calibrate_int8(lambda *a, **k: None, {"params": {}}, [])
+
+
+def test_int8_model_end_to_end(int8_env, monkeypatch):
+    """Flagship contract: ResNeXtSeg trained float, served int8.
+
+    Params initialized WITHOUT the env flag (the bf16 training tree) must
+    load into the int8 serving graph unchanged, and calibrated int8 argmax
+    must agree with the float argmax on most pixels.
+    """
+    from heatnet_tpu.models import ResNeXtSeg
+
+    rgb = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 64, 3))
+    ir = jax.random.uniform(jax.random.PRNGKey(4), (1, 32, 64, 1))
+
+    monkeypatch.delenv("HEATNET_QUANT")
+    m = ResNeXtSeg(structure=(1, 1, 1, 1))
+    float_vars = m.init({"params": KEY}, rgb, ir)
+    seg_f, _, _ = m.apply(float_vars, rgb, ir)
+
+    monkeypatch.setenv("HEATNET_QUANT", "int8")
+    mq = ResNeXtSeg(structure=(1, 1, 1, 1))
+    # adopt the float-trained tree; quant scales start empty
+    qvars = mq.init({"params": jax.random.PRNGKey(9)}, rgb, ir)
+    assert jax.tree.structure(qvars["params"]) == jax.tree.structure(
+        float_vars["params"]), "int8 graph must share the float param tree"
+    variables = {"params": float_vars["params"],
+                 "batch_stats": float_vars["batch_stats"]}
+    variables = calibrate_int8(mq.apply, variables, [(rgb, ir)])
+    seg_q, _, _ = mq.apply(variables, rgb, ir)
+
+    agree = float(jnp.mean(
+        (jnp.argmax(seg_q, -1) == jnp.argmax(seg_f, -1)).astype(jnp.float32)))
+    assert agree > 0.9, f"int8 argmax agreement {agree}"
