@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", default=10, type=int, help="timing iterations")
     p.add_argument("--classes", default=13, type=int)
     p.add_argument("--structure", nargs=4, type=int, default=[3, 4, 6, 3])
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: serve through the int8 MXU path (Int8Conv), "
+                        "calibrating activation scales on the first frame; "
+                        "checkpoints load unchanged (no reference analog — "
+                        "the reference serves fp32, scripts/inference.py)")
     return p
 
 
@@ -67,6 +72,12 @@ def _borders_main(args) -> float:
         sd = saved.get("state_dict", saved)
         variables["params"] = restore_partial(variables["params"], sd["params"])
 
+    if args.quant == "int8":
+        from ..ops.quant import calibrate_int8
+
+        variables = calibrate_int8(model.apply, variables,
+                                   [(img.astype(jnp.float32),)], train=False)
+
     @jax.jit
     def forward(x):
         seg, _, _ = model.apply(variables, x, train=False)
@@ -96,7 +107,25 @@ def _borders_main(args) -> float:
 
 
 def main(argv=None) -> float:
+    import os
+
     args = build_parser().parse_args(argv)
+    if args.quant != "int8":
+        return _main(args)
+    # trace-time flag: must be set before any model.apply trace; restored
+    # afterwards so in-process callers (tests) aren't left quantized
+    prior = os.environ.get("HEATNET_QUANT")
+    os.environ["HEATNET_QUANT"] = "int8"
+    try:
+        return _main(args)
+    finally:
+        if prior is None:
+            del os.environ["HEATNET_QUANT"]
+        else:
+            os.environ["HEATNET_QUANT"] = prior
+
+
+def _main(args) -> float:
     if args.borders_data:
         return _borders_main(args)
     if not args.data:
@@ -146,6 +175,15 @@ def main(argv=None) -> float:
                                                        sd["batch_stats"])
 
     from ..eval.validate import _device_normalize
+
+    if args.quant == "int8":
+        # one-shot calibration on the first frame records static
+        # activation scales into the "quant" collection
+        from ..ops.quant import calibrate_int8
+
+        variables = calibrate_int8(
+            model.apply, variables,
+            [(_device_normalize(rgb), _device_normalize(ir))], train=False)
 
     @jax.jit
     def forward(rgb, ir):

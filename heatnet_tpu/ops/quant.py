@@ -38,13 +38,22 @@ def calibrate_int8(
     a running max across batches. Extra ``apply_kwargs`` are forwarded
     (e.g. ``train=False``).
     """
+    import jax
+
+    # jit the calibration step: an eager flax apply dispatches op-by-op
+    # (minutes on CPU, >10 min through the TPU relay). One compile per
+    # distinct batch shape.
+    @jax.jit
+    def _step(variables, batch):
+        _, updated = apply_fn(variables, *batch, mutable=["quant"],
+                              **apply_kwargs)
+        return updated["quant"]
+
     variables = dict(variables)
     for batch in batches:
         if not isinstance(batch, (tuple, list)):
             batch = (batch,)
-        _, updated = apply_fn(variables, *batch, mutable=["quant"],
-                              **apply_kwargs)
-        variables["quant"] = updated["quant"]
+        variables["quant"] = _step(variables, tuple(batch))
     if "quant" not in variables:
         raise ValueError("calibration saw no batches")
     return variables

@@ -137,6 +137,33 @@ def test_inference_cli(roots):
     assert os.path.exists(os.path.join(roots["base"], "inf_out", "pred_0.png"))
 
 
+def test_inference_cli_int8(roots):
+    """--quant int8 serves the same surface through the Int8Conv path
+    (calibrated on the first frame) and restores the env afterwards.
+
+    Uses the borders mode because its resolution is configurable: the
+    Freiburg infer loader is fixed at 320x704 (reference semantics), and
+    XLA *CPU* runs int8 convs through an unvectorized fallback that is
+    orders of magnitude slower than f32 at that size (TPU is the target;
+    bench.py measures the real int8 path at full resolution)."""
+    import os as _os
+
+    from heatnet_tpu.cli.inference import main
+    from heatnet_tpu.data.synthetic import make_vistas_borders
+
+    paths = make_vistas_borders(os.path.join(roots["base"], "vbq"), n=1,
+                                hw=(64, 96))
+    out = os.path.join(roots["base"], "vb_out_q")
+    dt = main([
+        "--borders-data", paths, "--width", "64", "--height", "48",
+        "--iters", "1", "--structure", "1", "1", "1", "1",
+        "--classes", "14", "--quant", "int8", "--im-save-dir", out,
+    ])
+    assert dt > 0
+    assert os.path.exists(os.path.join(out, "pred_0.png"))
+    assert "HEATNET_QUANT" not in _os.environ
+
+
 def test_inference_cli_borders_mode(roots):
     from heatnet_tpu.cli.inference import main
     from heatnet_tpu.data.synthetic import make_vistas_borders
