@@ -153,7 +153,13 @@ class GroupedConvDense(nn.Module):
             from heatnet_tpu.ops.pallas_grouped_conv import grouped_conv3x3
             return grouped_conv3x3(x, kern, g, self.dilation, self.dtype)
 
-        work = n * h * w * cin_pg
+        if isinstance(n, int):
+            work = n * h * w * cin_pg
+        else:
+            # symbolic batch (jax.export artifacts): the volume rule can't
+            # compare b-dependent work, so assume the throughput regime
+            # (batch >= 8, the smallest measured point in the table)
+            work = 8 * h * w * cin_pg
         use_native = (impl == "native"
                       or (impl == "auto"
                           and cin_pg >= self.min_cpg_native
