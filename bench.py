@@ -145,6 +145,7 @@ def _bench_int8(model, variables, rgb, ir, bf16_argmax):
     b = INT8_BATCH
     rgb, ir, bf16_argmax = rgb[:b], ir[:b], bf16_argmax[:b]
 
+    prior_quant = os.environ.get("HEATNET_QUANT")
     os.environ["HEATNET_QUANT"] = "int8"
     try:
         qmodel = ResNeXtSeg(structure=(3, 4, 6, 3), input_channels=4,
@@ -181,7 +182,10 @@ def _bench_int8(model, variables, rgb, ir, bf16_argmax):
     except Exception:
         return None, None
     finally:
-        del os.environ["HEATNET_QUANT"]
+        if prior_quant is None:
+            del os.environ["HEATNET_QUANT"]
+        else:
+            os.environ["HEATNET_QUANT"] = prior_quant
 
 
 if __name__ == "__main__":

@@ -19,6 +19,8 @@ import argparse
 from glob import glob
 import os
 
+from ..data.mappings import CLASS_NAMES as _CLASS_NAMES
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="heatnet dataset QA")
@@ -88,12 +90,10 @@ def _iter(ds):
         yield ds[i]
 
 
-CLASS_NAMES_13 = [
-    "road,parking", "ground,sidewalk", "building", "curb", "fence",
-    "pole,traffic light,traffic sign", "vegetation", "terrain", "sky",
-    "person,rider", "car,truck,bus,train", "motorcycle,bicycle",
-    "background",
-]
+# derived from the single source of truth; the rstrip removes the
+# trailing comma mappings.CLASS_NAMES preserves for wandb metric-key
+# parity ("... IoU building," — validation_bdd_mf.py:367)
+CLASS_NAMES_13 = [n.rstrip(",") for n in _CLASS_NAMES[:13]]
 
 
 def _print_ious(ious, names):

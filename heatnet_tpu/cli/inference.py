@@ -93,10 +93,9 @@ def _borders_main(args) -> float:
 
     if args.im_save_dir:
         os.makedirs(args.im_save_dir, exist_ok=True)
-    for i in range(len(ds)):
-        item = ds[i]
-        pred = np.asarray(forward(jnp.asarray(item["image"][None])))[0]
-        if args.im_save_dir:
+        for i in range(len(ds)):
+            item = ds[i]
+            pred = np.asarray(forward(jnp.asarray(item["image"][None])))[0]
             save_image(os.path.join(args.im_save_dir, f"pred_{i}.png"),
                        color_code_labels(pred))
             save_image(os.path.join(args.im_save_dir, f"gt_{i}.png"),

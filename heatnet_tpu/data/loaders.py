@@ -703,6 +703,15 @@ class VistasBordersDataset:
                 gray = img.mean(axis=2, keepdims=True)
                 img = (img - gray) * rng.uniform(0.8, 1.2) + gray
                 image = np.clip(img, 0, 255).astype(np.uint8)
+        else:
+            # eval mode: enforce the requested (width, height) — native
+            # Vistas frames vary in size and would otherwise reach the
+            # consumer at full resolution (one XLA recompile per frame)
+            image = _resize(image, (self.width, self.height))
+            borders = _resize(borders, (self.width, self.height), nearest=True)
+            dt = _resize(dt, (self.width, self.height), nearest=True)
+            ids = _resize(ids, (self.width, self.height), nearest=True)
+            inst = _resize(inst, (self.width, self.height), nearest=True)
 
         borders = np.ascontiguousarray(borders)
         dt_borders = cv2.distanceTransform(

@@ -219,10 +219,20 @@ class MessageBus:
                               _ptr(np.ascontiguousarray(buf)), len(payload))
 
     def poll(self, sub_id: int, max_len: int = 1 << 20):
+        """Dequeue one message; None if the queue is empty.
+
+        Raises ``BufferError`` when the head message exceeds ``max_len``
+        (C layer returns -2 and leaves it queued) — silently returning
+        None there would make every drain loop spin forever on the
+        oversized message."""
         stamp = np.empty(1, np.int64)
         buf = np.empty(max_len, np.uint8)
         n = self._lib.bus_poll(self._h, sub_id, _ptr(stamp), _ptr(buf),
                                max_len)
+        if n == -2:
+            raise BufferError(
+                f"queued message exceeds max_len={max_len}; retry poll() "
+                "with a larger buffer")
         if n < 0:
             return None
         return float(stamp[0]) / 1e9, bytes(buf[:n].tobytes())

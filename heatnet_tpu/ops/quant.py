@@ -47,13 +47,20 @@ def calibrate_int8(
     def _step(variables, batch):
         _, updated = apply_fn(variables, *batch, mutable=["quant"],
                               **apply_kwargs)
+        if "quant" not in updated:
+            raise ValueError(
+                "model created no quant variables — was HEATNET_QUANT=int8 "
+                "set before the model traced? (the flag is read at trace "
+                "time; see models/layers.conv)")
         return updated["quant"]
 
     variables = dict(variables)
+    saw_batch = False
     for batch in batches:
+        saw_batch = True
         if not isinstance(batch, (tuple, list)):
             batch = (batch,)
         variables["quant"] = _step(variables, tuple(batch))
-    if "quant" not in variables:
+    if not saw_batch:
         raise ValueError("calibration saw no batches")
     return variables

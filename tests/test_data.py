@@ -223,6 +223,18 @@ def test_vistas_borders_dataset(tmp_path):
     b = ds_eval[1]["image"]
     np.testing.assert_array_equal(a, b)  # deterministic
 
+    # eval mode must enforce (width, height) on frames LARGER than the
+    # target — real Vistas frames vary in size, and passing them through
+    # at native resolution forces one XLA recompile per frame
+    big = make_vistas_borders(str(tmp_path / "vb_big"), n=1, hw=(128, 192))
+    ds_big = VistasBordersDataset(big, width=64, height=48,
+                                  contrast_enhancement=False,
+                                  augment_data=False)
+    item_big = ds_big[0]
+    assert item_big["image"].shape == (48, 64, 3)
+    for k in ("ids", "inst", "borders", "dt"):
+        assert item_big[k].shape == (48, 64), k
+
 
 def test_vistas_clahe_option(tmp_path):
     from heatnet_tpu.data.loaders import VistasDataset

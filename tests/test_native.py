@@ -113,6 +113,23 @@ def test_message_bus_pubsub():
     assert msgs == [f"RGB image {i}".encode() for i in range(5)]
 
 
+def test_message_bus_oversized_message():
+    """A message larger than poll's buffer raises (C layer -2) and stays
+    queued — returning None would make drain loops spin forever."""
+    import pytest
+
+    from heatnet_tpu.native.bindings import MessageBus
+
+    bus = MessageBus()
+    sub = bus.subscribe("big", queue_size=2)
+    bus.publish("big", stamp_s=1.0, payload=b"x" * 64)
+    with pytest.raises(BufferError):
+        bus.poll(sub, max_len=16)
+    assert bus.pending(sub) == 1  # still queued
+    stamp, payload = bus.poll(sub, max_len=128)  # retry with room
+    assert payload == b"x" * 64
+
+
 def test_camera_focus_fde(tmp_path):
     """Sharp frames must score lower (more negative) FDE than blurred ones
     (kalibr_camera_focus:29-39 semantics: minimize for focus)."""
