@@ -17,6 +17,10 @@ Measured v5e numbers (2026-08-17, single chip):
                            convs (no grouped-conv savings), so the
                            backbone carries more FLOPs than ResNeXt's
                            grouped stages.
+  batch 64, int8: 325.7 fps (HEATNET_QUANT=int8 + calibrate_int8) —
+                  +11.5% over bf16 at the same batch, ~equal to the bf16
+                  batch-128 sweet spot; PSPNet's dense convs all ride the
+                  Int8Conv path so it gains more per-batch than ResNeXt.
 """
 
 from __future__ import annotations
