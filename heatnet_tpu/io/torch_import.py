@@ -268,6 +268,11 @@ def import_into(target_params, target_stats, state_dict,
     p_flat, s_flat = convert_state_dict(state_dict, rename_map=rename_map,
                                         transpose_paths=transpose_paths)
     if to_rename or rename:
+        # callers pass torch dotted prefixes (initModelRenamed convention,
+        # utils.py:59-78: "module.trgb_segnet." -> "module."); converted
+        # keys are '/'-joined, so normalize the separators
+        to_rename = to_rename.replace(".", "/")
+        rename = rename.replace(".", "/")
         p_flat = {k.replace(to_rename, rename): v for k, v in p_flat.items()}
         s_flat = {k.replace(to_rename, rename): v for k, v in s_flat.items()}
 

@@ -798,3 +798,53 @@ def test_miou_parity_end_to_end():
                                err_msg="per-class IoUs diverge between "
                                        "reference and heatnet_tpu eval")
     assert np.isclose(np.nanmean(ours), np.nanmean(theirs))
+
+
+def test_convert_checkpoint_cli_migration(tmp_path):
+    """The reference user's migration path, end to end: a torch .pth.tar
+    saved the reference way (torch.save({'state_dict': module.-prefixed}),
+    scripts/main.py:321-324) converted by the CLI into an orbax checkpoint
+    that --resume loads, with forward parity against the torch model."""
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.cli.convert_checkpoint import main as convert_main
+    from heatnet_tpu.io.checkpoint import load_checkpoint, restore_partial
+    from heatnet_tpu.models import ResNeXtSeg
+
+    ref = _ref_trgb()
+    torch.manual_seed(3)
+    model_t = ref.ResNeXt(structure=[1, 1, 1, 1], input_channels=4).eval()
+    _randomize_bn_stats(model_t)
+
+    # save it as the reference trainers do: DataParallel 'module.' prefix
+    pth = os.path.join(tmp_path, "ref_ckpt.pth.tar")
+    sd = {"module." + k: v for k, v in model_t.state_dict().items()}
+    torch.save({"epoch": 3, "state_dict": sd, "best_iou": 0.5}, pth)
+
+    out = convert_main([
+        "--torch-checkpoint", pth, "--out", os.path.join(tmp_path, "orbax"),
+        "--structure", "1", "1", "1", "1",
+        "--to-rename", "module.", "--rename", "",
+    ])
+
+    model_j = ResNeXtSeg(structure=(1, 1, 1, 1), input_channels=4,
+                         dtype=jnp.float32)
+    params, batch_stats = _jax_variables(
+        model_j, [jnp.zeros((1, 32, 64, 3)), jnp.zeros((1, 32, 64, 1))])
+    saved = load_checkpoint(out)["state_dict"]
+    params = restore_partial(params, saved["params"], verbose=False)
+    batch_stats = restore_partial(batch_stats, saved["batch_stats"],
+                                  verbose=False)
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randn(1, 32, 64, 3).astype(np.float32)
+    ir = rng.randn(1, 32, 64, 1).astype(np.float32)
+    seg_j, _, _ = model_j.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(rgb), jnp.asarray(ir), train=False)
+    with torch.no_grad():
+        seg_t, _, _ = model_t(_nchw(rgb), _nchw(ir))
+    np.testing.assert_allclose(
+        np.asarray(seg_j), seg_t.permute(0, 2, 3, 1).numpy(),
+        rtol=2e-3, atol=2e-3)
