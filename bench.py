@@ -52,7 +52,8 @@ BASELINE_FPS_ESTIMATE = 20.0   # see module docstring for the derivation
 MODEL_GFLOP_PER_FRAME = 312.5  # useful conv FLOPs at 320x704 (torch hooks)
 V5E_PEAK_TFLOPS_BF16 = 197.0
 BATCH = 128
-INT8_BATCH = 64   # int32 accumulators double the stem's activation bytes
+INT8_BATCH = 128  # full-res layers stay bf16 (Int8Conv.max_hw_int8), so
+                  # the int32-accumulator OOM that forced batch 64 is gone
 WARMUP = 4
 CHUNKS = 6
 CHUNK_ITERS = 4
@@ -124,10 +125,12 @@ def main() -> None:
 def _bench_int8(model, variables, rgb, ir, bf16_argmax):
     """Measure the opt-in int8 serving mode on the same weights.
 
-    Runs at batch 64, the int8 HBM sweet spot: int8 convs accumulate to
-    int32, so the full-resolution stem's activation buffer is 2x the bf16
-    bytes — batch 128 exhausts v5e HBM (measured RESOURCE_EXHAUSTED), and
-    batch-64 int8 (427.9 fps) already beats batch-128 bf16 (414 fps).
+    Measured progression (v5e, this workload): all-layers int8 OOMed at
+    batch 128 (the full-res stem's int32 accumulator doubles its bf16
+    bytes) and reached 427.9 fps at batch 64; with Int8Conv's
+    full-resolution bf16 fallback (max_hw_int8 — the stem is HBM-bound
+    and gains least from int8 anyway) batch 128 fits and hits 456.4 fps,
+    +10% over the 414-fps bf16 headline.
 
     Returns (fps, argmax agreement vs bf16 on the same weights/inputs) or
     (None, None) if the int8 path fails on this backend (it is opt-in,

@@ -250,12 +250,38 @@ class Int8Conv(nn.Module):
     dtype: Any = jnp.bfloat16
     kernel_init: Callable = nn.initializers.lecun_normal()
 
+    # Full-resolution layers stay bf16: their int32 accumulator buffer is
+    # 2x the bf16 bytes (the stem OOMed batch 128 on v5e), they are
+    # HBM-bound (3->64 ch) so int8 gains least there, and keeping the
+    # first conv float is standard quantization practice. 100k pixels
+    # admits 1/2-res (320*964/4 = 77k) and below.
+    max_hw_int8: int = 100_000
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
         cin = x.shape[-1]
         kern = self.param(
             "kernel", self.kernel_init,
             (self.kernel, self.kernel, cin, self.features), jnp.float32)
+
+        h, w = x.shape[1], x.shape[2]
+        max_hw = int(os.environ.get("HEATNET_QUANT_MAX_HW",
+                                    self.max_hw_int8))
+        if isinstance(h, int) and h * w > max_hw:
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kern.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding),) * 2,
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                out = out + bias.astype(self.dtype)
+            return out
+
         w_amax = jnp.max(jnp.abs(kern), axis=(0, 1, 2))  # (features,)
         w_scale = jnp.maximum(w_amax / 127.0, 1e-12)
         w_q = jnp.clip(jnp.round(kern / w_scale), -127, 127).astype(jnp.int8)
