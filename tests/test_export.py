@@ -131,3 +131,25 @@ def test_export_cli_roundtrip(tmp_path):
                                  _device_normalize(ir16), train=False)
     agree = np.mean(np.asarray(served) == np.asarray(jnp.argmax(seg, -1)))
     assert agree > 0.99, f"artifact/direct argmax agreement {agree}"
+
+
+def test_export_cli_int8(tmp_path):
+    """--quant int8 bakes the calibrated int8 serving path into the
+    artifact; it loads and serves raw frames without heatnet_tpu state."""
+    from heatnet_tpu.cli.export_model import main
+    from heatnet_tpu.data.synthetic import make_freiburg_infer
+
+    calib = make_freiburg_infer(os.path.join(tmp_path, "calib"), n=2)
+    out = os.path.join(tmp_path, "model_q.jaxexp")
+    main(["--structure", "1", "1", "1", "1", "--height", "32", "--width",
+          "64", "--out", out, "--platforms", "cpu",
+          "--quant", "int8", "--calib-data", calib])
+
+    rng = np.random.RandomState(2)
+    rgb8 = jnp.asarray(rng.randint(0, 255, (2, 32, 64, 3)), jnp.uint8)
+    ir16 = jnp.asarray(rng.randint(21000, 26000, (2, 32, 64, 1)), jnp.uint16)
+    served = load_exported(out)(rgb8, ir16)
+    assert served.shape == (2, 32, 64)
+    assert served.dtype == jnp.int32
+    # env flag restored after export
+    assert "HEATNET_QUANT" not in os.environ
