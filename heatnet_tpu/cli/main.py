@@ -63,7 +63,8 @@ def main(argv=None) -> float:
     from ..data.loaders import VistasDataset, batch_iterator
     from ..eval.iou_eval import IoU
     from ..io.checkpoint import (best_iou_tracker, load_checkpoint,
-                                 restore_partial, save_checkpoint)
+                                 resolve_auto_resume, restore_partial,
+                                 save_checkpoint)
     from ..io.logging import AverageMeter, RunLogger
     from ..models import NormAct, get_model
     from ..ops.iou import confusion_matrix
@@ -135,6 +136,8 @@ def main(argv=None) -> float:
 
     start_epoch = 0
     track_best = best_iou_tracker()
+    args.resume = resolve_auto_resume(
+        args.resume, os.path.join(args.checkpoint_dir, "checkpoint"))
     if args.resume:
         saved = load_checkpoint(args.resume)
         state = state.replace(

@@ -103,7 +103,8 @@ def main(argv=None) -> float:
     from ..eval.validate import (inference, validate_model, validate_model_bdd,
                                  validate_model_mfnet)
     from ..io.checkpoint import (best_iou_tracker, load_checkpoint,
-                                 restore_partial, restore_renamed, save_checkpoint)
+                                 resolve_auto_resume, restore_partial,
+                                 restore_renamed, save_checkpoint)
     from ..io.logging import AverageMeter, RunLogger
     from ..models import ConfSegnet, ResNeXtSeg
     from ..models.registry import build_network
@@ -198,6 +199,7 @@ def main(argv=None) -> float:
 
     best_track = best_iou_tracker()
     start_epoch = opt.epoch
+    opt.resume = resolve_auto_resume(opt.resume, opt.checkpointname)
     if opt.resume:
         saved = load_checkpoint(opt.resume)
         params = restore_partial(params, saved["state_dict"]["params"])

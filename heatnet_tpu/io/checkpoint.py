@@ -69,6 +69,21 @@ def save_checkpoint(bundle: Dict[str, Any], path: str,
     return path
 
 
+def resolve_auto_resume(resume: str, default_path: str) -> str:
+    """Resolve ``--resume auto`` for preemption-safe relaunch.
+
+    ``auto`` means "resume from this run's own checkpoint path if one
+    exists, else start fresh" — the same command line then works for both
+    the first launch and every restart after a TPU preemption (the
+    reference has no equivalent; its ``--resume`` needs an explicit path,
+    scripts/main.py:129-147). Any other value passes through unchanged.
+    """
+    if resume != "auto":
+        return resume
+    p = os.path.abspath(default_path)
+    return p if os.path.exists(p) else ""
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     ckptr = ocp.PyTreeCheckpointer()
     return ckptr.restore(os.path.abspath(path))

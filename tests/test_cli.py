@@ -179,3 +179,25 @@ def test_inference_cli_borders_mode(roots):
     assert dt > 0
     assert os.path.exists(os.path.join(save, "pred_0.png"))
     assert os.path.exists(os.path.join(save, "gt_0.png"))
+
+
+def test_main_cli_auto_resume(roots, capsys):
+    """--resume auto: same command line works for first launch (fresh) and
+    relaunch (resumes from its own checkpoint dir) — the preemption-safe
+    restart pattern (io/checkpoint.resolve_auto_resume)."""
+    from heatnet_tpu.cli.main import main
+
+    ckpt_dir = os.path.join(roots["base"], "auto_ck")
+    args = [
+        "--data", roots["vistas"], "--valdata", roots["vistas"],
+        "--width", "96", "--height", "64", "--batch-size", "2",
+        "--epochs", "1", "--max-steps-per-epoch", "1",
+        "--structure", "1", "1", "1", "1",
+        "--checkpoint-dir", ckpt_dir,
+        "--log-dir", os.path.join(roots["base"], "runs"),
+        "--resume", "auto",
+    ]
+    main(args)  # fresh start: no checkpoint exists yet
+    capsys.readouterr()
+    main(args)  # relaunch with the SAME args resumes
+    assert "=> resumed from" in capsys.readouterr().out

@@ -172,3 +172,19 @@ def test_torch_resnext_block_path_renames():
     assert "mod2_1/block1/conv1/kernel" in p
     assert "mod1/conv1/kernel" in p
     assert "mod1/bn1/bn/scale" in p
+
+
+def test_resolve_auto_resume(tmp_path):
+    import os
+
+    from heatnet_tpu.io.checkpoint import resolve_auto_resume
+
+    ck = os.path.join(tmp_path, "ck")
+    # auto + nothing saved yet -> fresh start
+    assert resolve_auto_resume("auto", ck) == ""
+    os.makedirs(ck)
+    # auto + checkpoint present -> that path
+    assert resolve_auto_resume("auto", ck) == os.path.abspath(ck)
+    # explicit paths and empty pass through untouched
+    assert resolve_auto_resume("", ck) == ""
+    assert resolve_auto_resume("/x/y", ck) == "/x/y"
