@@ -441,24 +441,46 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     tail = len(order) % batch_size
     n_batches = n_full + (0 if drop_last or tail == 0 else 1)
 
+    stop = threading.Event()
+
     def produce(q: queue.Queue):
         try:
             for b in range(n_batches):
                 idx = order[b * batch_size:(b + 1) * batch_size]
                 items = [dataset[int(i)] for i in idx]
                 batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
-                q.put(batch)
+                # bounded put that notices consumer abandonment: a consumer
+                # that breaks mid-epoch would otherwise leave this thread
+                # parked in q.put forever, pinning the dataset and two
+                # decoded batches per abandoned epoch
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         finally:
-            q.put(None)
+            while True:
+                try:
+                    q.put(None, timeout=0.2)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     t = threading.Thread(target=produce, args=(q,), daemon=True)
     t.start()
-    while True:
-        batch = q.get()
-        if batch is None:
-            return
-        yield batch
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch
+    finally:
+        stop.set()
 
 
 class DeviceAugment:

@@ -139,8 +139,15 @@ class ConfSegnet(nn.Module):
                 output["critics_a"].append(critic(tap_a, train=train))
                 output["critics_b"].append(critic(tap_b, train=train))
             if self.input_adapter:
-                output["critics_a"].append(self.adapter_disc(cat_a, train=train))
-                output["critics_b"].append(self.adapter_disc(cat_b, train=train))
+                # the reference scores the adapter's OUTPUT (forward
+                # reassigns input_a = input_adapter_net(input_a) before
+                # adapter_disc(input_a), conf_segnet.py:108-132) — scoring
+                # the raw input would give the adapter zero gradient
+                # through its critic
+                output["critics_a"].append(
+                    self.adapter_disc(adapted_a, train=train))
+                output["critics_b"].append(
+                    self.adapter_disc(adapted_b, train=train))
 
         output["pred_label_a"] = pred_a
         output["pred_label_b"] = pred_b

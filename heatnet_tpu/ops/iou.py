@@ -22,11 +22,35 @@ def confusion_matrix(predicted: jax.Array, target: jax.Array, num_classes: int) 
     """
     predicted = predicted.reshape(-1)
     target = target.reshape(-1)
+
+    # f32 matmul accumulation is exact only below 2^24 counts per cell; a
+    # large batch (e.g. 128 x 320x704 = 28.8M pixels) could silently
+    # saturate a dominant cell. Chunk the pixel stream and accumulate the
+    # per-chunk matrices in int32 (out-of-range pad index n contributes
+    # all-zero one-hot rows).
+    chunk = 1 << 22
+    if predicted.size <= chunk:
+        return _confusion_chunk(predicted, target, num_classes)
+    pad = (-predicted.size) % chunk
+    p = jnp.pad(predicted, (0, pad), constant_values=num_classes)
+    t = jnp.pad(target, (0, pad), constant_values=num_classes)
+    p = p.reshape(-1, chunk)
+    t = t.reshape(-1, chunk)
+
+    def body(acc, pt):
+        return acc + _confusion_chunk(pt[0], pt[1], num_classes), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((num_classes, num_classes), jnp.int32), (p, t))
+    return acc
+
+
+def _confusion_chunk(predicted, target, num_classes: int) -> jax.Array:
     # one_hot yields all-zero rows for out-of-range indices → safe padding.
     pred_oh = jax.nn.one_hot(predicted, num_classes, dtype=jnp.float32)
     targ_oh = jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
     conf = jnp.dot(targ_oh.T, pred_oh, preferred_element_type=jnp.float32)
-    # int32 per-batch counts; the host-side accumulator (eval.iou_eval) is int64.
+    # int32 per-chunk counts; the host-side accumulator (eval.iou_eval) is int64.
     return conf.astype(jnp.int32)
 
 

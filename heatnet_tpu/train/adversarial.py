@@ -29,7 +29,6 @@ that exactly.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -92,7 +91,11 @@ def conf_criterion(kind: str) -> Callable[[jax.Array, float], jax.Array]:
 
 
 def _is_critic_key(k: str) -> bool:
-    return k.startswith("critics_") or k == "adapter_disc"
+    # NOT adapter_disc: the reference setPhase toggles only the critics
+    # list and trgb_segnet (conf_segnet.py:90-104) — the adapter critic
+    # keeps requires_grad in BOTH phases, so it receives updates from the
+    # seg phase's confusion term too.
+    return k.startswith("critics_")
 
 
 def _is_segnet_key(k: str) -> bool:
@@ -142,21 +145,16 @@ def make_phase_optimizers(lr_schedule) -> Tuple[optax.GradientTransformation,
     masked-out leaves receive zero updates and keep untouched moments.
     """
 
+    from .optim import masked_optimizer
+
     def rmsprop():
-        return optax.rmsprop(learning_rate=lr_schedule, decay=0.99, eps=1e-8)
+        # eps_in_sqrt=False: torch's sqrt(nu) + eps denominator (optax's
+        # default sqrt(nu + eps) floors the denom at 1e-4 — see optim.py)
+        return optax.rmsprop(learning_rate=lr_schedule, decay=0.99, eps=1e-8,
+                             eps_in_sqrt=False)
 
-    def labels_from(mask_fn):
-        def f(params):
-            return jax.tree_util.tree_map(
-                lambda m: "train" if m else "freeze", mask_fn(params))
-        return f
-
-    seg_tx = optax.multi_transform(
-        {"train": rmsprop(), "freeze": optax.set_to_zero()},
-        labels_from(seg_phase_mask))
-    critic_tx = optax.multi_transform(
-        {"train": rmsprop(), "freeze": optax.set_to_zero()},
-        labels_from(critic_phase_mask))
+    seg_tx = masked_optimizer(rmsprop(), seg_phase_mask)
+    critic_tx = masked_optimizer(rmsprop(), critic_phase_mask)
     return seg_tx, critic_tx
 
 
@@ -223,7 +221,7 @@ def _pack_inputs(batch: Dict[str, jax.Array], modalities: str, day: bool):
 
 def _apply_train(model, params, batch_stats, in_day, in_night, rng=None):
     variables = {"params": params}
-    mutable = []
+    mutable = False
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"]

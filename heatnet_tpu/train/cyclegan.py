@@ -14,7 +14,6 @@ sampling, cheap, and feeds the next jitted call).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Tuple
 
 import jax
@@ -139,7 +138,7 @@ def make_cyclegan_steps(gen_a2b, gen_b2a, disc_a, disc_b, seg_net):
 
     def seg_apply(params, stats, x, train):
         variables = {"params": params}
-        mutable = []
+        mutable = False
         if stats is not None:
             variables["batch_stats"] = stats
             mutable = ["batch_stats"]

@@ -23,7 +23,12 @@ def poly_lr(init_lr: float, max_iter: int = 100, power: float = 0.9) -> Callable
     """``poly_lr_scheduler`` (helper/utils.py:71-84): lr·(1 - it/max)^power."""
 
     def schedule(count):
-        frac = 1.0 - count / max_iter
+        import jax.numpy as jnp
+
+        # clamp: past max_iter a negative frac**0.9 is NaN, which would
+        # NaN-poison every parameter on the next update (e.g. resuming a
+        # run beyond its original step budget)
+        frac = jnp.maximum(1.0 - count / max_iter, 0.0)
         return init_lr * (frac ** power)
 
     return schedule
@@ -129,8 +134,12 @@ def create_optimizer(optimizer_config: Dict[str, Any],
     elif otype == "Adam":
         tx = optax.adam(learning_rate=sched)
     elif otype == "RMSprop":
-        # torch RMSprop defaults: alpha .99, eps 1e-8 (adversarial trainer)
-        tx = optax.rmsprop(learning_rate=sched, decay=0.99, eps=1e-8)
+        # torch RMSprop defaults: alpha .99, eps 1e-8 (adversarial trainer).
+        # eps_in_sqrt=False matches torch's sqrt(nu) + eps denominator;
+        # optax's default sqrt(nu + eps) floors the denom at 1e-4 and makes
+        # small-moment updates up to 1e4x smaller than the reference.
+        tx = optax.rmsprop(learning_rate=sched, decay=0.99, eps=1e-8,
+                           eps_in_sqrt=False)
     else:
         raise KeyError(f"unrecognized optimizer {otype}")
 

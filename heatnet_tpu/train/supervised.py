@@ -41,7 +41,6 @@ def cross_entropy_ignore(logits: jax.Array, labels: jax.Array,
 
     Matches ``nn.CrossEntropyLoss(ignore_index=13)`` (mean over non-ignored).
     """
-    num_classes = logits.shape[-1]
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -77,7 +76,7 @@ def make_train_step(model, learn_batch_stats: bool = True):
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params}
-        mutable = []
+        mutable = False
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]

@@ -42,7 +42,7 @@ def make_uncertainty_step(encoder1, encoder2, seg_decoder, unc_decoder):
 
     def apply_mod(mod, params, stats, *args):
         variables = {"params": params}
-        mutable = []
+        mutable = False
         if stats is not None:
             variables["batch_stats"] = stats
             mutable = ["batch_stats"]
