@@ -125,6 +125,11 @@ def main() -> None:
     results = {}
     env = dict(os.environ, _HEATNET_TRAINBENCH_CHILD="1")
     here = os.path.abspath(__file__)
+    # the child's sys.path[0] is tools/, not the repo root, and the package
+    # is not pip-installed — APPEND the root to PYTHONPATH (never replace:
+    # the ambient PYTHONPATH is how the TPU plugin's sitecustomize is found)
+    repo_root = os.path.dirname(os.path.dirname(here))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     for kind, b in configs:
         proc = subprocess.run([sys.executable, here, kind, str(b)], env=env,
                               capture_output=True, text=True, timeout=3600)
