@@ -18,11 +18,13 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-import os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 BATCH = int(os.environ.get('BENCH_BATCH', 8))
 GROUPS = 64
 STAGES = [
