@@ -44,6 +44,7 @@ full precision, int8 is a serving option on top.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -182,7 +183,10 @@ def _bench_int8(model, variables, rgb, ir, bf16_argmax):
             out_q.block_until_ready()
         fps = b * CHUNKS * CHUNK_ITERS / (time.perf_counter() - t0)
         return round(fps, 2), round(agree, 4)
-    except Exception:
+    except Exception as e:
+        # keep the headline bf16 bench alive, but make int8 breakage
+        # visible: a real regression must not read as "unsupported"
+        print(f"int8 bench failed: {e!r}", file=sys.stderr)
         return None, None
     finally:
         if prior_quant is None:

@@ -27,8 +27,16 @@ import argparse
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Export serving artifact")
-    p.add_argument("--arch", default="resnext50")
-    p.add_argument("--structure", nargs=4, type=int, default=[3, 4, 6, 3])
+    p.add_argument("--arch", default="resnext50",
+                   choices=["resnext50", "resnext101", "resnext152",
+                            "pspnet"],
+                   help="model family to export (pspnet uses --backend)")
+    p.add_argument("--backend", default="resnet50",
+                   help="PSPNet extractor backend (--arch pspnet only)")
+    p.add_argument("--late-fusion", action="store_true")
+    p.add_argument("--structure", nargs=4, type=int, default=None,
+                   help="override the ResNeXt stage depths (default: "
+                        "per --arch)")
     p.add_argument("--classes", default=13, type=int)
     p.add_argument("--modalities", default="ir_rgb",
                    help="ir_rgb | rgb | ir (input surface of the artifact)")
@@ -46,7 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--logits", action="store_true",
                    help="emit logits instead of the argmax class map")
     p.add_argument("--fixed-batch", default=0, type=int,
-                   help=">0: fix the batch dimension instead of symbolic")
+                   help=">0: fix the batch dimension instead of symbolic. "
+                        "Symbolic-batch artifacts pick grouped-conv "
+                        "lowerings assuming batch >= 8 (the throughput "
+                        "regime); when serving small batches, fix the "
+                        "batch here so each layer gets its measured-best "
+                        "lowering (models/layers.GroupedConvDense)")
     p.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8: bake the quantized serving path into the "
                         "artifact (weights stored int8; requires "
@@ -86,14 +99,26 @@ def _main(args) -> str:
     from ..io.checkpoint import load_checkpoint, restore_partial
     from ..io.export import export_inference, exported_info, save_exported
     from ..models import ResNeXtSeg
+    from ..models.registry import build_network
     from ..train.state import init_model
 
     enable_compilation_cache()
 
     n_in = ((3 if "rgb" in args.modalities else 0)
             + (1 if "ir" in args.modalities else 0))
-    model = ResNeXtSeg(structure=tuple(args.structure), classes=args.classes,
-                       input_channels=n_in, dtype=jnp.bfloat16)
+    if args.arch == "pspnet":
+        model = build_network(backend=args.backend, n_classes=args.classes,
+                              in_channels=n_in, late_fusion=args.late_fusion,
+                              dtype=jnp.bfloat16)
+    else:
+        structure = tuple(args.structure) if args.structure else {
+            "resnext50": (3, 4, 6, 3),
+            "resnext101": (3, 4, 23, 3),
+            "resnext152": (3, 8, 36, 3),
+        }[args.arch]
+        model = ResNeXtSeg(structure=structure, classes=args.classes,
+                           input_channels=n_in,
+                           late_fusion=args.late_fusion, dtype=jnp.bfloat16)
 
     b = max(args.fixed_batch, 1)
     shapes, dtypes = [], []
@@ -113,7 +138,9 @@ def _main(args) -> str:
     if args.resume:
         saved = load_checkpoint(args.resume)
         sd = saved.get("state_dict", saved)
-        variables["params"] = restore_partial(variables["params"], sd["params"])
+        variables["params"] = restore_partial(variables["params"],
+                                              sd["params"],
+                                              require_match=True)
         if batch_stats is not None and "batch_stats" in sd:
             variables["batch_stats"] = restore_partial(
                 variables["batch_stats"], sd["batch_stats"])

@@ -100,14 +100,26 @@ def restore_full(target_tree, saved_tree):
     return _unflatten({k: flat_s[k] for k in flat_t})
 
 
-def restore_partial(target_tree, saved_tree, verbose: bool = True):
-    """Key-intersection restore (initModelPartial, scripts/main.py:25-37)."""
+def restore_partial(target_tree, saved_tree, verbose: bool = True,
+                    require_match: bool = False):
+    """Key-intersection restore (initModelPartial, scripts/main.py:25-37).
+
+    ``require_match=True`` raises when zero keys intersect — for callers
+    (e.g. the export CLI) where a silent no-op restore would ship an
+    artifact with random weights.
+    """
     flat_t = _flatten(target_tree)
     flat_s = _flatten(saved_tree)
     updated = {k: flat_s[k] if k in flat_s and _shape_ok(flat_s[k], v) else v
                for k, v in flat_t.items()}
     n = sum(1 for k, v in flat_t.items()
             if k in flat_s and _shape_ok(flat_s[k], v))
+    if require_match and n == 0:
+        raise KeyError(
+            "restore_partial matched zero checkpoint keys against the "
+            "target model — architecture/checkpoint mismatch? "
+            f"(target e.g. {sorted(flat_t)[:2]}, "
+            f"saved e.g. {sorted(flat_s)[:2]})")
     if verbose:
         print(f"Updated : {n} entries (restore_partial)")
     return _unflatten(updated)

@@ -188,17 +188,33 @@ class GroupedConvDense(nn.Module):
             if self.is_mutable_collection("quant"):
                 scale_var.value = jnp.maximum(
                     scale_var.value, jnp.max(jnp.abs(xf)) / 127.0)
-            x_scale = jnp.maximum(scale_var.value, 1e-12)
-            x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
-            y = jax.lax.conv_general_dilated(
-                x_q, w_q,
-                window_strides=(self.stride, self.stride),
-                padding=pad,
-                rhs_dilation=(self.dilation, self.dilation),
-                feature_group_count=fgc,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
-            return y.astype(self.dtype) * (x_scale * w_scale).astype(self.dtype)
+
+            def _int8(xf):
+                x_scale = jnp.maximum(scale_var.value, 1e-12)
+                x_q = jnp.clip(jnp.round(xf / x_scale),
+                               -127, 127).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    x_q, w_q,
+                    window_strides=(self.stride, self.stride),
+                    padding=pad,
+                    rhs_dilation=(self.dilation, self.dilation),
+                    feature_group_count=fgc,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                return (y.astype(self.dtype)
+                        * (x_scale * w_scale).astype(self.dtype))
+
+            def _float(xf):
+                # uncalibrated scale: serve the float conv (see Int8Conv)
+                return jax.lax.conv_general_dilated(
+                    xf.astype(self.dtype), rhs.astype(self.dtype),
+                    window_strides=(self.stride, self.stride),
+                    padding=pad,
+                    rhs_dilation=(self.dilation, self.dilation),
+                    feature_group_count=fgc,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            return jax.lax.cond(scale_var.value > 0, _int8, _float, xf)
 
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), rhs,
@@ -293,18 +309,34 @@ class Int8Conv(nn.Module):
             # calibration pass: running max over calibration batches
             batch_scale = jnp.max(jnp.abs(xf)) / 127.0
             scale_var.value = jnp.maximum(scale_var.value, batch_scale)
-        x_scale = jnp.maximum(scale_var.value, 1e-12)
-        x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
 
         pad = ((self.padding, self.padding),) * 2
-        y = jax.lax.conv_general_dilated(
-            x_q, w_q,
-            window_strides=(self.stride, self.stride),
-            padding=pad,
-            rhs_dilation=(self.dilation, self.dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32)
-        out = y.astype(self.dtype) * (x_scale * w_scale).astype(self.dtype)
+
+        def _int8(xf):
+            x_scale = jnp.maximum(scale_var.value, 1e-12)
+            x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                x_q, w_q,
+                window_strides=(self.stride, self.stride),
+                padding=pad,
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return y.astype(self.dtype) * (x_scale * w_scale).astype(self.dtype)
+
+        def _float(xf):
+            # uncalibrated x_scale==0 (e.g. variables straight from init
+            # under HEATNET_QUANT=int8): quantizing would saturate every
+            # activation to ±127 and silently emit garbage — serve the
+            # float conv instead (ADVICE r1)
+            return jax.lax.conv_general_dilated(
+                xf.astype(self.dtype), kern.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=pad,
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        out = jax.lax.cond(scale_var.value > 0, _int8, _float, xf)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

@@ -188,3 +188,31 @@ def test_resolve_auto_resume(tmp_path):
     # explicit paths and empty pass through untouched
     assert resolve_auto_resume("", ck) == ""
     assert resolve_auto_resume("/x/y", ck) == "/x/y"
+
+
+def test_restore_partial_require_match_raises():
+    """ADVICE r1: a zero-intersection restore must fail loudly when the
+    caller opts in (export CLI), instead of shipping random weights."""
+    import pytest
+
+    from heatnet_tpu.io.checkpoint import restore_partial
+
+    target = {"a": {"kernel": np.zeros((3, 3))}}
+    saved = {"completely": {"different": np.ones((2,))}}
+    with pytest.raises(KeyError):
+        restore_partial(target, saved, verbose=False, require_match=True)
+    # default stays lenient
+    out = restore_partial(target, saved, verbose=False)
+    assert out["a"]["kernel"].shape == (3, 3)
+
+
+def test_export_cli_arch_flag_is_honored():
+    """ADVICE r1: --arch must change the exported model family."""
+    from heatnet_tpu.cli.export_model import build_parser
+
+    args = build_parser().parse_args(
+        ["--arch", "pspnet", "--backend", "resnet18", "--out", "/tmp/x"])
+    assert args.arch == "pspnet" and args.backend == "resnet18"
+    import pytest
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--arch", "nonsense", "--out", "/tmp/x"])

@@ -137,3 +137,36 @@ def test_int8_model_end_to_end(int8_env, monkeypatch):
     agree = float(jnp.mean(
         (jnp.argmax(seg_q, -1) == jnp.argmax(seg_f, -1)).astype(jnp.float32)))
     assert agree > 0.9, f"int8 argmax agreement {agree}"
+
+
+def test_uncalibrated_int8_serves_float_path(int8_env):
+    """ADVICE r1: serving with an uncalibrated quant collection (x_scale==0,
+    e.g. variables straight from init) must NOT clamp the scale to 1e-12 and
+    saturate — it falls back to the float conv, bit-for-bit."""
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 4), jnp.float32)
+    q = conv(8, 3, dtype=jnp.float32)
+    # the realistic uncalibrated state: init on zeros (what init_model
+    # feeds) leaves x_scale == 0
+    variables = q.init({"params": KEY}, jnp.zeros_like(x))
+    assert float(variables["quant"]["x_scale"]) == 0.0
+    out_q = q.apply(variables, x)
+
+    # reuse the same kernel through the float path
+    out_f = jax.lax.conv_general_dilated(
+        x, variables["params"]["kernel"],
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_f),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_uncalibrated_grouped_int8_serves_float_path(int8_env):
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 8, 16), jnp.float32)
+    g = GroupedConvDense(features=16, kernel=3, groups=8, padding=1,
+                         dtype=jnp.float32)
+    variables = g.init({"params": KEY}, jnp.zeros_like(x))
+    assert float(variables["quant"]["x_scale"]) == 0.0
+    out_q = g.apply(variables, x)  # x_scale == 0 → float fallback
+    assert np.isfinite(np.asarray(out_q)).all()
+    # saturation symptom would be a near-constant extreme output
+    assert float(np.abs(np.asarray(out_q)).max()) < 1e3
