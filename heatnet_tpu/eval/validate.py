@@ -89,17 +89,75 @@ def _forward_factory(model, variables, modalities: str, pred_lut=None):
     return forward
 
 
-def _accumulate(forward, loader: Iterable, save_hook=None, n_classes: int = 13):
+# Eval batch size: validators group per-item loader outputs into fixed
+# batches of this size (one jit cache entry per dataset shape). Override
+# per call via batch_size=, or globally via HEATNET_EVAL_BATCH.
+DEFAULT_EVAL_BATCH = 16
+
+
+def _eval_batch_size(batch_size: Optional[int]) -> int:
+    if batch_size is not None:
+        return max(int(batch_size), 1)
+    return max(int(os.environ.get("HEATNET_EVAL_BATCH",
+                                  DEFAULT_EVAL_BATCH)), 1)
+
+
+def _batched(loader: Iterable, batch_size: int, pad_label: int = 13):
+    """Group per-item dicts (leading dim 1) into fixed-size batches.
+
+    The ragged tail pads to ``batch_size`` by repeating the last frame
+    (parallel.mesh.pad_batch_to) with the padded rows' labels forced to
+    ``pad_label`` — a value that lands in the IoU ignore class, so the
+    accumulated per-class counts are bit-identical to per-item eval while
+    every forward runs at one static batch shape. Replaces the reference's
+    one-frame-at-a-time loop (and its DataParallel batch-doubling hack,
+    validation_bdd_mf.py:297-299). Yields (batch, valid_count).
+    """
+    from ..parallel.mesh import pad_batch_to
+
+    buf = []
+
+    def emit(items):
+        batch = {k: np.concatenate([np.asarray(it[k]) for it in items],
+                                   axis=0)
+                 for k in items[0]}
+        valid = len(items)
+        if valid < batch_size:
+            batch, valid = pad_batch_to(batch, batch_size)
+            if "label" in batch:
+                lbl = np.asarray(batch["label"]).copy()
+                lbl[valid:] = pad_label
+                batch["label"] = lbl
+        return batch, valid
+
+    for item in loader:
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield emit(buf)
+            buf = []
+    if buf:
+        yield emit(buf)
+
+
+def _accumulate(forward, loader: Iterable, save_hook=None,
+                n_classes: int = 13, batch_size: Optional[int] = None,
+                pad_label: int = 13):
     inter = np.zeros(n_classes, np.int64)
     pred_cnt = np.zeros(n_classes, np.int64)
     targ_cnt = np.zeros(n_classes, np.int64)
-    for i, batch in enumerate(loader):
+    frame = 0
+    for batch, valid in _batched(loader, _eval_batch_size(batch_size),
+                                 pad_label):
         pred, (bi, bp, bt) = forward(batch)
         inter += np.asarray(bi, np.int64)
         pred_cnt += np.asarray(bp, np.int64)
         targ_cnt += np.asarray(bt, np.int64)
         if save_hook is not None:
-            save_hook(i, np.asarray(pred), batch)
+            pred_np = np.asarray(pred)
+            for j in range(valid):
+                save_hook(frame + j, pred_np[j],
+                          {k: np.asarray(v)[j] for k, v in batch.items()})
+        frame += valid
     return ious_from_counts(inter, pred_cnt, targ_cnt)
 
 
@@ -109,30 +167,33 @@ def _save_hook(save_dir: str):
     os.makedirs(save_dir, exist_ok=True)
     from ..utils.vis import color_code_labels, save_image, vis_depth
 
-    def hook(i, pred, batch):
+    def hook(i, pred, frame):
+        """``pred``/``frame`` entries are single frames (no batch dim)."""
         save_image(os.path.join(save_dir, f"pred_{i}.png"),
-                   color_code_labels(pred[0]))
-        if "rgb_org" in batch:
+                   color_code_labels(pred))
+        if "rgb_org" in frame:
             save_image(os.path.join(save_dir, f"rgb_{i}.png"),
-                       np.asarray(batch["rgb_org"])[0])
-        if "ir_org" in batch:
+                       frame["rgb_org"])
+        if "ir_org" in frame:
             save_image(os.path.join(save_dir, f"ir_{i}.png"),
-                       vis_depth(np.asarray(batch["ir_org"])[0]))
-        if "label" in batch:
+                       vis_depth(frame["ir_org"]))
+        if "label" in frame:
             save_image(os.path.join(save_dir, f"gt_{i}.png"),
-                       color_code_labels(np.asarray(batch["label"])[0]))
+                       color_code_labels(frame["label"]))
 
     return hook
 
 
 def validate_model(model, variables, loader, modalities: str,
-                   mode: str = "day", logger=None, save_dir: str = "") -> np.ndarray:
+                   mode: str = "day", logger=None, save_dir: str = "",
+                   batch_size: Optional[int] = None) -> np.ndarray:
     """Freiburg Thermal validation (validation_bdd_mf.py:259-379).
 
     Returns the 12-entry per-class IoU vector (classes 12/13 skipped).
     """
     forward = _forward_factory(model, variables, modalities)
-    ious = _accumulate(forward, loader, _save_hook(save_dir))
+    ious = _accumulate(forward, loader, _save_hook(save_dir),
+                       batch_size=batch_size)
     if logger is not None:
         logs = {f"{mode}_Test mean IoU": float(np.nanmean(ious))}
         for k, name in enumerate(_PER_CLASS_KEYS):
@@ -143,12 +204,14 @@ def validate_model(model, variables, loader, modalities: str,
 
 def validate_model_mfnet(model, variables, loader, modalities: str,
                          mode: str = "day", logger=None,
-                         save_dir: str = "") -> np.ndarray:
+                         save_dir: str = "",
+                         batch_size: Optional[int] = None) -> np.ndarray:
     """MFNet validation: HeatNet preds → MFNet label space, then IoU
     (validation_bdd_mf.py:145-257; unmapped predictions become class 0)."""
     lut = mapping_to_lut(HEATNET_TO_MFNET, num_src=14, default=0)
     forward = _forward_factory(model, variables, modalities, pred_lut=lut)
-    ious = _accumulate(forward, loader, _save_hook(save_dir))
+    ious = _accumulate(forward, loader, _save_hook(save_dir),
+                       batch_size=batch_size)
     if logger is not None:
         logger.log({
             f"{mode}_MFNET_Test mean IoU": float(np.nanmean(ious)),
@@ -161,7 +224,8 @@ def validate_model_mfnet(model, variables, loader, modalities: str,
 
 
 def validate_model_bdd(model, variables, loader, logger=None,
-                       save_dir: str = "") -> np.ndarray:
+                       save_dir: str = "",
+                       batch_size: Optional[int] = None) -> np.ndarray:
     """BDD night validation: BDD GT ids → HeatNet labels, RGB-only model
     input (validation_bdd_mf.py:39-143)."""
     gt_lut = mapping_to_lut(BDD_TO_HEATNET, num_src=256, default=13)
@@ -173,7 +237,11 @@ def validate_model_bdd(model, variables, loader, logger=None,
         batch["label"] = gt_lut[np.asarray(batch["label"]).astype(np.int64)]
         return base(batch)
 
-    ious = _accumulate(forward, loader, _save_hook(save_dir))
+    # padded rows carry raw-BDD label 255, which the LUT maps to the
+    # ignore class (BDD id 13 is a REAL class, so the default pad of 13
+    # would corrupt the padded rows after remapping)
+    ious = _accumulate(forward, loader, _save_hook(save_dir),
+                       batch_size=batch_size, pad_label=255)
     if logger is not None:
         logs = {"BDD_Test mean IoU": float(np.nanmean(ious))}
         for k, name in enumerate(_PER_CLASS_KEYS):
@@ -183,7 +251,8 @@ def validate_model_bdd(model, variables, loader, logger=None,
 
 
 def inference(model, variables, loader, modalities: str,
-              save_dir: str = "") -> int:
+              save_dir: str = "",
+              batch_size: Optional[int] = None) -> int:
     """Label-free inference with png dumps (validation_bdd_mf.py:381-429)."""
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
@@ -198,13 +267,14 @@ def inference(model, variables, loader, modalities: str,
         return jnp.argmax(seg, axis=-1)
 
     n = 0
-    for i, batch in enumerate(loader):
+    for batch, valid in _batched(loader, _eval_batch_size(batch_size)):
         pred = np.asarray(forward(batch))
         if save_dir:
-            save_image(os.path.join(save_dir, f"pred_{i}.png"),
-                       color_code_labels(pred[0]))
-            if "rgb_org" in batch:
-                save_image(os.path.join(save_dir, f"rgb_{i}.png"),
-                           np.asarray(batch["rgb_org"])[0])
-        n += 1
+            for j in range(valid):
+                save_image(os.path.join(save_dir, f"pred_{n + j}.png"),
+                           color_code_labels(pred[j]))
+                if "rgb_org" in batch:
+                    save_image(os.path.join(save_dir, f"rgb_{n + j}.png"),
+                               np.asarray(batch["rgb_org"])[j])
+        n += valid
     return n
