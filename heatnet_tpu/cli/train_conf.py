@@ -113,8 +113,12 @@ def main(argv=None) -> float:
                                      make_phase_optimizers)
     from ..train.optim import step_lr
     from ..train.state import init_model
-    from ..parallel.mesh import mesh_for_batch, replicate, shard_batch
+    from ..parallel.mesh import maybe_initialize_distributed, mesh_for_batch, replicate, shard_batch
 
+    # multi-host: join the jax.distributed world BEFORE any device
+    # use (VERDICT r1: only cli/main.py initialized multi-host; on a
+    # multi-host slice the other trainers ran per-host islands)
+    maybe_initialize_distributed()
     enable_compilation_cache()
     logger = RunLogger("hotnet", entity="team-awesome", log_dir=opt.log_dir)
     logger.update_config(opt)

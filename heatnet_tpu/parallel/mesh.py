@@ -28,10 +28,22 @@ def maybe_initialize_distributed() -> None:
     """``jax.distributed.initialize`` iff launched under a multi-process env.
 
     Replaces ``dist.init_process_group(backend='gloo', init_method='tcp://…')``
-    (scripts/main.py:105-107) — coordinator discovery comes from the TPU
-    runtime environment rather than CLI flags.
+    (scripts/main.py:105-107). Coordinator discovery: the TPU runtime
+    environment, or the explicit ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` triple (the gloo-TCP-flag
+    analog; also what the 2-process CPU tests use). Every trainer CLI
+    calls this before touching devices — a no-op single-process, so the
+    single-host path is unaffected.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr or jax.distributed.is_initialized():
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if nproc:
+        jax.distributed.initialize(
+            coordinator_address=addr, num_processes=int(nproc),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+    else:
         jax.distributed.initialize()
 
 
@@ -66,17 +78,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put_global(x, sharding: NamedSharding):
+    """Place a host array under a (possibly multi-host) sharding.
+
+    Single-process: plain ``device_put``. Multi-process: every process
+    holds the identical GLOBAL array (trainer loaders are seed-
+    deterministic, so each host materializes the same batch — the
+    DataParallel-semantics choice; a per-host sampler would halve host
+    decode work but change the random stream) and each process donates
+    only the shards its local devices own via ``make_array_from_callback``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of arrays) sharded over the data axis.
 
     The global batch size must divide the data-axis size — the analog of the
     reference's per-GPU batch split, minus the DataParallel batch-doubling
     hack (validation_bdd_mf.py:297-299), which static sharding makes moot.
+    Works on multi-host meshes (see :func:`_put_global`).
     """
     sharding = data_sharding(mesh)
 
     def _put(x):
-        return jax.device_put(x, sharding)
+        return _put_global(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
 
@@ -84,7 +114,7 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / opt state) across the mesh."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _put_global(x, sharding), tree)
 
 
 def pad_batch_to(batch, global_batch: int):
@@ -114,11 +144,20 @@ def mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:
     sharding, so shrink the mesh rather than crash (remaining devices idle —
     prefer batch sizes that are multiples of the device count).
     """
-    n = len(jax.devices()) // model_parallel
+    import warnings
+
+    total = len(jax.devices())
+    n = total // model_parallel
     while n > 1 and batch_size % n != 0:
         n -= 1
-    return create_mesh(num_devices=max(n, 1) * model_parallel,
-                       model_parallel=model_parallel)
+    used = max(n, 1) * model_parallel
+    if used < total:
+        warnings.warn(
+            f"batch size {batch_size} uses only {used} of {total} devices "
+            f"({total - used} idle) — pick a batch divisible by "
+            f"{total // model_parallel} to use the whole slice",
+            RuntimeWarning, stacklevel=2)
+    return create_mesh(num_devices=used, model_parallel=model_parallel)
 
 
 def shard_params_tp(mesh: Mesh, params, min_channels: int = 64):
