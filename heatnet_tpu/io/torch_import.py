@@ -187,8 +187,12 @@ def convert_state_dict(state_dict: Dict[str, Any],
     stats: Dict[str, np.ndarray] = {}
 
     for key, tensor in state_dict.items():
-        t = np.asarray(tensor.detach().cpu().numpy()
-                       if hasattr(tensor, "detach") else tensor)
+        # np.array (not asarray): torch's .numpy() returns a VIEW sharing
+        # the tensor's storage, so without the copy a later in-place torch
+        # update (optimizer.step) silently mutates the converted tree
+        # before jit materializes it on device
+        t = np.array(tensor.detach().cpu().numpy()
+                     if hasattr(tensor, "detach") else tensor)
         if rename_map:
             key = _apply_rename_map(key, rename_map)
         parts = _rename_path(key.split("."))
