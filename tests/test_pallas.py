@@ -94,3 +94,60 @@ def test_grouped_conv_custom_vjp_matches_dense_grads():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_conv_fused_epilogue_matches_composition():
+    """act(conv*s+b) in-kernel == conv -> affine -> act composed in jnp."""
+    from heatnet_tpu.ops.pallas_grouped_conv import (_dense_reference,
+                                                     grouped_conv3x3_fused)
+
+    n, h, w, c, g = 2, 12, 14, 128, 64
+    x = jnp.asarray(RNG.randn(n, h, w, c), jnp.float32)
+    k = jnp.asarray(RNG.randn(3, 3, c // g, c) * 0.1, jnp.float32)
+    s = jnp.asarray(RNG.rand(c) + 0.5, jnp.float32)
+    b = jnp.asarray(RNG.randn(c), jnp.float32)
+
+    for act, slope in [("relu", 0.0), ("leaky_relu", 0.01), ("elu", 0.0),
+                       ("none", 0.0)]:
+        out = grouped_conv3x3_fused(x, k, s, b, groups=g, dilation=1,
+                                    dtype=jnp.float32, act=act, slope=slope,
+                                    interpret=True)
+        y = _dense_reference(x, k, g, 1, jnp.float32) * s + b
+        if act == "relu":
+            y = jnp.maximum(y, 0)
+        elif act == "leaky_relu":
+            y = jnp.where(y > 0, y, slope * y)
+        elif act == "elu":
+            y = jnp.where(y > 0, y, jnp.expm1(y))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(y), atol=1e-3)
+
+
+def test_residual_block_pallas_fused_matches_normal(monkeypatch):
+    """IdentityResidualBlock under HEATNET_GC_IMPL=pallas_fused (interpret
+    mode) must match the normal conv2 -> bn3 -> act composition."""
+    import jax
+    from heatnet_tpu.models.layers import IdentityResidualBlock, NormAct
+
+    blk = IdentityResidualBlock(channels=(128, 128, 256), groups=64,
+                                norm_act=NormAct(activation="leaky_relu"),
+                                dtype=jnp.float32)
+    x = jnp.asarray(RNG.randn(2, 10, 12, 128), jnp.float32)
+    variables = blk.init({"params": jax.random.PRNGKey(0)}, x)
+    # make BN affine + running stats non-trivial
+    variables = jax.tree.map(
+        lambda v: v + 0.1 * jnp.arange(v.size, dtype=v.dtype).reshape(v.shape)
+        / v.size if v.ndim == 1 else v, variables)
+
+    ref = blk.apply(variables, x)
+
+    monkeypatch.setenv("HEATNET_GC_IMPL", "pallas_fused")
+    monkeypatch.setenv("HEATNET_PALLAS_INTERPRET", "1")
+    fused = blk.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # fallback (no interpret, no tpu): manual affine path, same numbers
+    monkeypatch.delenv("HEATNET_PALLAS_INTERPRET")
+    fallback = blk.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(fallback), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -72,13 +72,19 @@ def test_int8_conv_matches_float_after_calibration(int8_env, monkeypatch):
 
 
 def test_grouped_conv_int8_matches_float(int8_env, monkeypatch):
+    """dense block-diag quantizes (~1% error); native serves bf16 exactly
+    (int8 regresses native grouped convs on v5e — see GroupedConvDense).
+    Both register the quant scale so calibration at one batch size serves
+    at any other (dispatch is batch-dependent)."""
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 16), jnp.float32)
     for impl in ("dense", "native"):
         monkeypatch.setenv("HEATNET_GC_IMPL", impl)
         g = GroupedConvDense(features=16, kernel=3, groups=4, padding=1,
                              dtype=jnp.float32)
         variables = g.init({"params": KEY}, x)
+        assert "quant" in variables, impl
         variables = calibrate_int8(g.apply, variables, [(x,)])
+        assert float(variables["quant"]["x_scale"]) > 0.0, impl
         out_q = g.apply(variables, x)
 
         monkeypatch.delenv("HEATNET_QUANT")
@@ -86,7 +92,11 @@ def test_grouped_conv_int8_matches_float(int8_env, monkeypatch):
         monkeypatch.setenv("HEATNET_QUANT", "int8")
 
         assert out_q.shape == out_f.shape
-        assert _rel_err(out_q, out_f) < 0.05, impl
+        if impl == "native":
+            np.testing.assert_array_equal(np.asarray(out_q),
+                                          np.asarray(out_f))
+        else:
+            assert 0 < _rel_err(out_q, out_f) < 0.05, impl
 
 
 def test_calibration_running_max(int8_env):
