@@ -63,7 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8: bake the quantized serving path into the "
                         "artifact (weights stored int8; requires "
-                        "--calib-data for activation scales)")
+                        "--calib-data for activation scales). A symbolic-"
+                        "batch export bakes int8 unconditionally (the "
+                        "throughput assumption); with --fixed-batch < 8 "
+                        "the layers bake bf16 instead — int8 measured "
+                        "slower below batch 8 (layers._int8_batch_ok)")
     p.add_argument("--calib-data", default="",
                    help="Freiburg-layout inference dir (fl_rgb/ + "
                         "fl_ir_aligned/) used to calibrate int8 "

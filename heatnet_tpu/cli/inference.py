@@ -33,7 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8: serve through the int8 MXU path (Int8Conv), "
                         "calibrating activation scales on the first frame; "
                         "checkpoints load unchanged (no reference analog — "
-                        "the reference serves fp32, scripts/inference.py)")
+                        "the reference serves fp32, scripts/inference.py). "
+                        "int8 is a throughput mode: below batch 8 (incl. "
+                        "this CLI's frame-at-a-time loop) the layers "
+                        "auto-serve bf16, which measured FASTER at batch 1 "
+                        "(27.5 vs 35.4 ms/frame; layers._int8_batch_ok, "
+                        "override HEATNET_INT8_MIN_BATCH)")
     return p
 
 

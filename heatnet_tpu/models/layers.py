@@ -220,7 +220,8 @@ class GroupedConvDense(nn.Module):
         # the ~2x MXU int8 rate doesn't pay for 16x/8x structural-zero
         # MACs. Dense block-diag convs (cpg < 4, e.g. mod2) DO win under
         # int8 (mod2 stage x1.21) — they are real 128x128 matmuls.
-        quant = quant and not use_native
+        # Batch-gated like Int8Conv: int8 is a throughput mode.
+        quant = quant and not use_native and _int8_batch_ok(n)
         comp_dtype = jnp.float32 if quant else self.dtype
         if use_native:
             rhs, fgc = kern.astype(comp_dtype), g
@@ -276,6 +277,24 @@ class GroupedConvDense(nn.Module):
             feature_group_count=fgc,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ))
+
+
+def _int8_batch_ok(n) -> bool:
+    """int8 serving is a throughput mode — below the measured crossover
+    batch it REGRESSES, so serve the float conv there even under
+    ``HEATNET_QUANT=int8``. Measured on the flagship graph (v5e,
+    320x960, ms/frame bf16 vs int8): batch 1: 27.5 vs 35.4, batch 2:
+    17.1 vs 20.1, batch 4: 10.8 vs 10.9 (tie), batch 8: 6.89 vs 6.60,
+    batch 128: 2.42 vs 2.00. At small batch every conv is launch/HBM-
+    latency-bound — halving MAC cost buys nothing while the
+    quantize/dequantize elementwise passes add pure overhead. Override
+    with ``HEATNET_INT8_MIN_BATCH`` (default 8, the first measured win).
+    A symbolic batch (jax.export artifacts) counts as the throughput
+    regime, consistent with GroupedConvDense's dispatch assumption."""
+    import os
+
+    min_b = int(os.environ.get("HEATNET_INT8_MIN_BATCH", "8"))
+    return not isinstance(n, int) or n >= min_b
 
 
 def _calibrated_branch(scale, int8_fn, float_fn, xf):
@@ -409,7 +428,13 @@ class Int8Conv(nn.Module):
                 rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-        out = _calibrated_branch(scale_var.value, _int8, _float, xf)
+        # scale registration/calibration above runs at ANY batch size;
+        # only the serving dispatch is batch-gated (calibrate small,
+        # serve large is the normal pattern)
+        if _int8_batch_ok(x.shape[0]):
+            out = _calibrated_branch(scale_var.value, _int8, _float, xf)
+        else:
+            out = _float(xf)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

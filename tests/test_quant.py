@@ -29,6 +29,9 @@ KEY = jax.random.PRNGKey(0)
 @pytest.fixture
 def int8_env(monkeypatch):
     monkeypatch.setenv("HEATNET_QUANT", "int8")
+    # these tests exercise the quant math at tiny batches; disable the
+    # throughput-regime batch gate (tested separately below)
+    monkeypatch.setenv("HEATNET_INT8_MIN_BATCH", "1")
 
 
 def _rel_err(a, b):
@@ -180,3 +183,42 @@ def test_uncalibrated_grouped_int8_serves_float_path(int8_env):
     assert np.isfinite(np.asarray(out_q)).all()
     # saturation symptom would be a near-constant extreme output
     assert float(np.abs(np.asarray(out_q)).max()) < 1e3
+
+
+def test_int8_batch_gate(monkeypatch):
+    """int8 is a throughput mode: below HEATNET_INT8_MIN_BATCH (default 8,
+    the measured crossover — see layers._int8_batch_ok) a calibrated model
+    serves the float conv bit-for-bit; at/above it, the quantized one.
+    Calibration still records scales at ANY batch size (calibrate small,
+    serve large)."""
+    monkeypatch.setenv("HEATNET_QUANT", "int8")
+    monkeypatch.delenv("HEATNET_INT8_MIN_BATCH", raising=False)
+    x_small = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 4),
+                                jnp.float32)
+    x_big = jnp.tile(x_small, (4, 1, 1, 1))  # batch 8
+
+    q = conv(8, 3, dtype=jnp.float32)
+    variables = q.init({"params": KEY}, x_small)
+    # calibration below the gate batch must still record the scale
+    variables = calibrate_int8(q.apply, variables, [(x_small,)])
+    assert float(variables["quant"]["x_scale"]) > 0.0
+
+    out_small = q.apply(variables, x_small)
+
+    monkeypatch.delenv("HEATNET_QUANT")
+    f = conv(8, 3, dtype=jnp.float32)
+    out_f = f.apply({"params": variables["params"]}, x_small)
+    monkeypatch.setenv("HEATNET_QUANT", "int8")
+
+    # batch 2 < 8: float path, bit-for-bit
+    np.testing.assert_array_equal(np.asarray(out_small), np.asarray(out_f))
+
+    # batch 8: the quantized path (differs from float by quant error)
+    out_big = q.apply(variables, x_big)
+    assert 0 < _rel_err(out_big[:2], out_f) < 0.05
+
+    # override pulls the gate down
+    monkeypatch.setenv("HEATNET_INT8_MIN_BATCH", "2")
+    out_small_q = q.apply(variables, x_small)
+    np.testing.assert_array_equal(np.asarray(out_small_q),
+                                  np.asarray(out_big[:2]))
