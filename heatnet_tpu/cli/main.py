@@ -104,6 +104,12 @@ def main(argv=None) -> float:
     if args.structure:
         from ..models import ResNeXtSeg
         model = ResNeXtSeg(structure=tuple(args.structure), **model_kw)
+    elif args.arch == "pspnet":
+        # scripts/main.py:114-115 second branch: build_net.build_network
+        # (None, 'resnet50') — PSPNet-resnet50 instead of the segnet zoo
+        from ..models.registry import build_network
+        model = build_network("resnet50", n_classes=net_conf["classes"],
+                              in_channels=3, dtype=dtype)
     else:
         model = get_model("net_" + args.arch, **model_kw)
 
@@ -122,8 +128,12 @@ def main(argv=None) -> float:
 
     mesh = mesh_for_batch(batch_size)
     example = jnp.zeros((1, args.height, args.width, 3))
+    # pspnet has train-time dropout → init in eval mode (same variable
+    # structure, no dropout rng needed at init) and thread a key per step
+    has_dropout = args.arch == "pspnet"
     params, batch_stats = init_model(model, jax.random.PRNGKey(0), example,
-                                     None, init_kwargs={"train": True})
+                                     None,
+                                     init_kwargs={"train": not has_dropout})
 
     # Adam + per-iteration poly decay (scripts/main.py:159,232) + clip
     tx_parts = []
@@ -150,7 +160,9 @@ def main(argv=None) -> float:
         print(f"=> resumed from {args.resume} (epoch {start_epoch})")
 
     state = replicate(mesh, state)
-    train_step = make_train_step(model)
+    train_step = make_train_step(
+        model,
+        dropout_rng=jax.random.PRNGKey(1) if has_dropout else None)
     eval_step = make_eval_step(model, num_classes=14)
 
     def validate() -> float:

@@ -424,6 +424,35 @@ class BDDValDataset:
 # ---------------------------------------------------------------------------
 
 
+def prefetch_items(dataset, workers: int = 8, depth: int = 32
+                   ) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield ``dataset[0..len)`` in order, decoding up to ``depth`` items
+    ahead on a ``workers``-thread pool.
+
+    The serving-path analog of ``batch_iterator``'s prefetch: PNG decode
+    (cv2 releases the GIL) overlaps device compute so a batched directory
+    pass isn't serialized on the host decoder. Bounded at ``depth``
+    in-flight items (a plain ``ThreadPoolExecutor.map`` would submit — and
+    eventually buffer — the whole directory).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+
+    n = len(dataset)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        pending: deque = deque()
+        nxt = 0
+        while nxt < min(depth, n):
+            pending.append(ex.submit(dataset.__getitem__, nxt))
+            nxt += 1
+        while pending:
+            item = pending.popleft().result()
+            if nxt < n:
+                pending.append(ex.submit(dataset.__getitem__, nxt))
+                nxt += 1
+            yield item
+
+
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    seed: int = 0, drop_last: bool = True,
                    prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:

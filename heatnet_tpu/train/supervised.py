@@ -66,22 +66,31 @@ def robust_loss(loss: jax.Array, a: float = 0.5, c: float = 1.0) -> jax.Array:
     return (b / d) * (jnp.power(jnp.square(loss / c) / b + 1.0, 0.5 * d) - 1.0)
 
 
-def make_train_step(model, learn_batch_stats: bool = True):
+def make_train_step(model, learn_batch_stats: bool = True,
+                    dropout_rng: Optional[jax.Array] = None):
     """Build the jitted supervised step: (state, batch) → (state, metrics).
 
     ``batch`` is a dict with ``image`` (NHWC, already normalized) and
     ``label`` (NHW int). Works single-chip and under a mesh unchanged — the
     sharding of the inputs decides the parallelism.
+
+    ``dropout_rng``: pass a base key for models with train-time dropout
+    (PSPNet's Dropout2d layers, pspnet.py:48,55 — the ``--arch pspnet``
+    branch of scripts/main.py:114-115); each step folds in ``state.step``
+    so masks differ per step but runs stay reproducible. The segnet zoo
+    has no dropout and needs no key.
     """
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, step):
         variables = {"params": params}
         mutable = False
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
+        rngs = (None if dropout_rng is None
+                else {"dropout": jax.random.fold_in(dropout_rng, step)})
         out = model.apply(variables, batch["image"], None, train=True,
-                          mutable=mutable)
+                          mutable=mutable, rngs=rngs)
         (seg, _taps, _cert), new_vars = out if mutable else (out, {})
         loss = cross_entropy_ignore(seg, batch["label"])
         return loss, (new_vars.get("batch_stats"), seg)
@@ -92,7 +101,8 @@ def make_train_step(model, learn_batch_stats: bool = True):
     @jax.jit
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Any]]:
         (loss, (new_bs, seg)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   state.step)
         new_state = state.apply_gradients(
             grads, new_bs if learn_batch_stats else None)
         preds = jnp.argmax(seg, axis=-1)
