@@ -450,3 +450,54 @@ def test_dump_capture_end_to_end(tmp_path):
     assert dump_main([
         "--capture", str(cap), "--out", str(out),
         "--topics", *topics, "--prefixes", "fl_rgb", "fl_ir"]) is None
+
+
+# ---------------------------------------------------------------------------
+# Shipped example calibration assets (experiments/calibrations/)
+# ---------------------------------------------------------------------------
+
+
+def test_shipped_calibration_assets_drive_full_chain():
+    """The example calibration tree (schema-compatible stand-in for the
+    reference's data/calibrations/) parses and drives every consumer:
+    kalibr camchain -> StereoRectifier remap, t_calib.json -> thermal
+    projection warp field, circlegrid.yaml -> kalibr target spec."""
+    import yaml
+
+    from heatnet_tpu.data.calibration import (
+        StereoRectifier, load_kalibr_yaml, load_thermal_calib,
+        project_thermal_to_rgb)
+
+    root = os.path.join(os.path.dirname(__file__),
+                        "../experiments/calibrations")
+
+    cams = load_kalibr_yaml(
+        os.path.join(root, "example_rig/front_stereo/camchain.yaml"))
+    assert set(cams) == {"left", "right"}
+    assert cams["left"].resolution == (1920, 1080)
+    assert cams["right"].T_cn_cnm1 is not None
+
+    T = cams["right"].T_cn_cnm1
+    rect = StereoRectifier(cams["left"], cams["right"],
+                           T[:3, :3], T[:3, 3])
+    img = np.random.RandomState(0).randint(
+        0, 255, (1080, 1920, 3)).astype(np.uint8)
+    left, right = rect.rectify(img, img)
+    assert left.shape == img.shape and right.shape == img.shape
+
+    thermal = load_kalibr_yaml(
+        os.path.join(root, "example_rig/thermal/camchain.yaml"))["thermal"]
+    assert thermal.resolution == (640, 512)
+
+    T_rt, K_ir = load_thermal_calib(
+        os.path.join(root, "example_rig/t_calib.json"))
+    assert T_rt.shape == (4, 4) and K_ir[0, 0] == 460.0
+    depth = np.full((64, 64), 5.0, np.float32)
+    warp = project_thermal_to_rgb(depth, cams["left"].K, K_ir, T_rt)
+    assert warp.shape == (64, 64, 2) and np.isfinite(warp).all()
+
+    with open(os.path.join(root, "circlegrid.yaml")) as f:
+        grid = yaml.safe_load(f)
+    assert grid["target_type"] == "circlegrid"
+    assert grid["targetCols"] * grid["targetRows"] > 0
+    assert grid["spacingMeters"] > 0
