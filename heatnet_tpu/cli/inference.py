@@ -166,7 +166,12 @@ def _main(args) -> float:
                            classes=args.classes, input_channels=n_in,
                            dtype=jnp.bfloat16)
 
-    ds = FreiburgInferDataset(args.data)
+    from ..data.packed import PackedFrameDataset, is_pack_dir
+
+    # a heatnet-pack-v1 directory serves decode-free (data/packed.py);
+    # a PNG capture tree decodes per frame — same item surface either way
+    ds = (PackedFrameDataset(args.data) if is_pack_dir(args.data)
+          else FreiburgInferDataset(args.data))
     if len(ds) == 0:
         raise FileNotFoundError(f"no frames under {args.data}")
     first = ds[0]

@@ -283,3 +283,43 @@ def test_main_cli_auto_resume(roots, capsys):
     capsys.readouterr()
     main(args)  # relaunch with the SAME args resumes
     assert "=> resumed from" in capsys.readouterr().out
+
+
+def test_pack_frames_and_packed_serving(roots):
+    """pack_frames packs a capture dir; the inference CLI auto-detects the
+    pack and serves it decode-free with bit-identical predictions (the
+    packed arrays are exactly what the PNG loader ships)."""
+    import numpy as np
+    from PIL import Image
+
+    from heatnet_tpu.cli.inference import main
+    from heatnet_tpu.cli.pack_frames import main as pack_main
+    from heatnet_tpu.data.packed import PackedFrameDataset, is_pack_dir
+    from heatnet_tpu.data.loaders import FreiburgInferDataset
+
+    pack_dir = os.path.join(roots["base"], "pack")
+    n = pack_main(["--data", roots["infer"], "--out", pack_dir, "--quiet"])
+    assert n == 2 and is_pack_dir(pack_dir)
+
+    # item-for-item identical to the PNG loader
+    png_ds = FreiburgInferDataset(roots["infer"])
+    pk_ds = PackedFrameDataset(pack_dir)
+    assert len(pk_ds) == len(png_ds)
+    for i in range(len(pk_ds)):
+        a, b = png_ds[i], pk_ds[i]
+        np.testing.assert_array_equal(a["rgb"], b["rgb"])
+        np.testing.assert_array_equal(a["ir"], b["ir"])
+
+    # CLI serves the pack (auto-detected) with identical predictions
+    out_png = os.path.join(roots["base"], "inf_out_png_ref")
+    out_pack = os.path.join(roots["base"], "inf_out_pack")
+    main(["--data", roots["infer"], "--iters", "1",
+          "--structure", "1", "1", "1", "1", "--im-save-dir", out_png])
+    main(["--data", pack_dir, "--iters", "1",
+          "--structure", "1", "1", "1", "1", "--im-save-dir", out_pack])
+    for f in sorted(os.listdir(out_png)):
+        if not f.startswith("pred_"):
+            continue
+        a = np.asarray(Image.open(os.path.join(out_png, f)))
+        b = np.asarray(Image.open(os.path.join(out_pack, f)))
+        np.testing.assert_array_equal(a, b)
