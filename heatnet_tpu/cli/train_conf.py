@@ -301,10 +301,13 @@ def main(argv=None) -> float:
         crop_hw = (384, 384)
         augment = DeviceAugment(crop_hw=crop_hw, mfnet=True)
     elif opt.trainsetname == 'FR':
+        from ..data.loaders import open_freiburg_train
+
         roots = [r for r in (opt.testroot_night, opt.testroot_day) if r]
         test_stamps = get_test_stamps(get_test_paths(roots)[2]) if roots else None
-        train_ds = FreiburgThermalDataset(opt.dataroot, split='train',
-                                          test_stamps=test_stamps)
+        # dataroot may be a decode-free raw pack (cli/pack_frames.py --train)
+        train_ds = open_freiburg_train(opt.dataroot, split='train',
+                                       test_stamps=test_stamps)
         crop_hw = (h, w)
         augment = DeviceAugment(crop_hw=crop_hw)
     else:

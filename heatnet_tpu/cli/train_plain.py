@@ -41,7 +41,7 @@ def main(argv=None) -> float:
     import optax
 
     from ..core.cache import enable_compilation_cache
-    from ..data.loaders import DeviceAugment, FreiburgThermalDataset, batch_iterator
+    from ..data.loaders import DeviceAugment, batch_iterator, open_freiburg_train
     from ..io.checkpoint import load_checkpoint, restore_partial, save_checkpoint
     from ..io.logging import AverageMeter, RunLogger
     from ..models import ResNeXtSeg
@@ -60,7 +60,7 @@ def main(argv=None) -> float:
 
     model = ResNeXtSeg(structure=tuple(opt.structure), input_channels=4,
                        dtype=jnp.bfloat16, remat=True)
-    ds = FreiburgThermalDataset(opt.dataroot, split="train")
+    ds = open_freiburg_train(opt.dataroot, split="train")
     augment = DeviceAugment(crop_hw=(320, 640))
 
     rgb = jnp.zeros((1, 320, 640, 3))

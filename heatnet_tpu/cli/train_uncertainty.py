@@ -38,7 +38,7 @@ def main(argv=None) -> float:
 
     from ..core.cache import enable_compilation_cache
     from ..parallel.mesh import maybe_initialize_distributed
-    from ..data.loaders import DeviceAugment, FreiburgThermalDataset, batch_iterator
+    from ..data.loaders import DeviceAugment, batch_iterator, open_freiburg_train
     from ..io.checkpoint import save_checkpoint
     from ..io.logging import AverageMeter, RunLogger
     from ..models.segnetsplit import ResNeXtDecoder, ResNeXtEncoder
@@ -59,7 +59,7 @@ def main(argv=None) -> float:
     seg_dec = ResNeXtDecoder(out_classes=12)
     unc_dec = ResNeXtDecoder(out_classes=1, last_activation="sigmoid")
 
-    ds = FreiburgThermalDataset(opt.dataroot, split="train")
+    ds = open_freiburg_train(opt.dataroot, split="train")
     augment = DeviceAugment(crop_hw=(320, 640))
 
     # subsample 4x like the reference (:168-170) → 80x160 IR inputs

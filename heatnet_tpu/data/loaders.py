@@ -156,6 +156,23 @@ class FreiburgThermalDataset:
         }
 
 
+def open_freiburg_train(db_path: str, split: str = "train",
+                        test_stamps=None, seed: int = 0):
+    """``FreiburgThermalDataset`` or its decode-free packed equivalent.
+
+    If ``db_path`` is a train pack (``cli/pack_frames.py --train``) the
+    memmap-backed ``PackedFreiburgTrainDataset`` is returned (test-stamp
+    filtering was baked at pack time); otherwise the PNG-tree loader.
+    Every trainer opens its Freiburg training data through this.
+    """
+    from .packed import PackedFreiburgTrainDataset, is_train_pack_dir
+
+    if is_train_pack_dir(db_path):
+        return PackedFreiburgTrainDataset(db_path, seed=seed)
+    return FreiburgThermalDataset(db_path, split=split,
+                                  test_stamps=test_stamps, seed=seed)
+
+
 def filter_test_data(paths: Sequence[str], stamps) -> List[str]:
     """Exclude files whose (sec, nsec) stamp appears in ``stamps``.
 

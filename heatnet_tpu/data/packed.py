@@ -35,11 +35,17 @@ from typing import Dict
 import numpy as np
 
 FORMAT = "heatnet-pack-v1"
+TRAIN_FORMAT = "heatnet-train-pack-v1"
 
 
 def is_pack_dir(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "meta.json")) and \
         os.path.isfile(os.path.join(path, "rgb.npy"))
+
+
+def is_train_pack_dir(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "meta.json")) and \
+        os.path.isfile(os.path.join(path, "rgb_day.npy"))
 
 
 def pack_inference_dir(src_dir: str, out_dir: str,
@@ -81,6 +87,98 @@ def pack_inference_dir(src_dir: str, out_dir: str,
         json.dump({"format": FORMAT, "n": n, "height": h, "width": w,
                    "names": names}, f)
     return n
+
+
+def pack_freiburg_train(db_path: str, out_dir: str, split: str = "train",
+                        test_stamps=None, verbose: bool = False):
+    """Pack a Freiburg Thermal train tree for decode-free training.
+
+    Reuses ``FreiburgThermalDataset``'s discovery, day/night sort, holdout
+    split and test-stamp filtering, then decodes each file ONCE (same
+    resize) into five raw arrays: day rgb/ir/label and night rgb/ir. The
+    paired-day + random-night sampling stays at serve time
+    (``PackedFreiburgTrainDataset``), so training sees the same
+    distribution as from the PNG tree. Returns (n_day, n_night).
+    """
+    import cv2
+
+    from .loaders import IR_RES, _imread_ir16, _imread_rgb, _resize
+    from .loaders import FreiburgThermalDataset
+
+    ds = FreiburgThermalDataset(db_path, split=split,
+                                test_stamps=test_stamps)
+    n_day = len(ds.rgb_day_files)
+    n_night = len(ds.rgb_night_files)
+    w, h = IR_RES
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _mm(name, dtype, shape):
+        return np.lib.format.open_memmap(
+            os.path.join(out_dir, name), mode="w+", dtype=dtype, shape=shape)
+
+    rgb_day = _mm("rgb_day.npy", np.uint8, (n_day, h, w, 3))
+    ir_day = _mm("ir_day.npy", np.uint16, (n_day, h, w))
+    label_day = _mm("label_day.npy", np.uint8, (n_day, h, w))
+    rgb_night = _mm("rgb_night.npy", np.uint8, (n_night, h, w, 3))
+    ir_night = _mm("ir_night.npy", np.uint16, (n_night, h, w))
+
+    for i in range(n_day):
+        rgb_day[i] = _resize(_imread_rgb(ds.rgb_day_files[i]), IR_RES)
+        ir_day[i] = _resize(_imread_ir16(ds.ir_day_files[i]), IR_RES)
+        label_day[i] = _resize(
+            cv2.imread(ds.label_day_files[i], cv2.IMREAD_GRAYSCALE),
+            IR_RES, nearest=True)
+        if verbose and (i + 1) % 100 == 0:
+            print(f"packed day {i + 1}/{n_day}")
+    for i in range(n_night):
+        rgb_night[i] = _resize(_imread_rgb(ds.rgb_night_files[i]), IR_RES)
+        ir_night[i] = _resize(_imread_ir16(ds.ir_night_files[i]), IR_RES)
+        if verbose and (i + 1) % 100 == 0:
+            print(f"packed night {i + 1}/{n_night}")
+    for arr in (rgb_day, ir_day, label_day, rgb_night, ir_night):
+        arr.flush()
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"format": TRAIN_FORMAT, "split": split,
+                   "n_day": n_day, "n_night": n_night,
+                   "height": h, "width": w,
+                   "test_stamps_filtered": bool(test_stamps)}, f)
+    return n_day, n_night
+
+
+class PackedFreiburgTrainDataset:
+    """Serve a train pack with the ``FreiburgThermalDataset`` surface.
+
+    Same item dict (uint8 rgb / uint16 ir / uint8 label, day + random
+    night) and the same seeded night-pairing RNG semantics; per item the
+    host does five memmap slices instead of five PNG decodes + resizes.
+    """
+
+    def __init__(self, pack_dir: str, seed: int = 0):
+        with open(os.path.join(pack_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta.get("format") != TRAIN_FORMAT:
+            raise ValueError(f"not a {TRAIN_FORMAT} directory: {pack_dir}")
+        ld = lambda n: np.load(os.path.join(pack_dir, n), mmap_mode="r")
+        self.rgb_day = ld("rgb_day.npy")
+        self.ir_day = ld("ir_day.npy")
+        self.label_day = ld("label_day.npy")
+        self.rgb_night = ld("rgb_night.npy")
+        self.ir_night = ld("ir_night.npy")
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return int(self.meta["n_day"])
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rand_idx = self._rng.randint(0, int(self.meta["n_night"]))
+        return {
+            "rgb_day": np.asarray(self.rgb_day[index]),
+            "ir_day": np.asarray(self.ir_day[index]),
+            "label_day": np.asarray(self.label_day[index]),
+            "rgb_night": np.asarray(self.rgb_night[rand_idx]),
+            "ir_night": np.asarray(self.ir_night[rand_idx]),
+        }
 
 
 class PackedFrameDataset:

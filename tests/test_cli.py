@@ -323,3 +323,45 @@ def test_pack_frames_and_packed_serving(roots):
         a = np.asarray(Image.open(os.path.join(out_png, f)))
         b = np.asarray(Image.open(os.path.join(out_pack, f)))
         np.testing.assert_array_equal(a, b)
+
+
+def test_train_pack_and_packed_training(roots):
+    """--train packing bakes the same discovery/split/decode as the PNG
+    loader; open_freiburg_train auto-detects packs; a trainer runs from
+    the pack end to end."""
+    import numpy as np
+
+    from heatnet_tpu.cli.pack_frames import main as pack_main
+    from heatnet_tpu.data.loaders import (FreiburgThermalDataset,
+                                          open_freiburg_train)
+    from heatnet_tpu.data.packed import (PackedFreiburgTrainDataset,
+                                         is_train_pack_dir)
+
+    pack_dir = os.path.join(roots["base"], "train_pack")
+    n_day = pack_main(["--data", roots["train"], "--out", pack_dir,
+                       "--train", "--quiet"])
+    assert is_train_pack_dir(pack_dir)
+
+    png_ds = FreiburgThermalDataset(roots["train"], split="train", seed=3)
+    pk_ds = PackedFreiburgTrainDataset(pack_dir, seed=3)
+    assert len(pk_ds) == len(png_ds) == n_day
+    for i in range(len(pk_ds)):
+        a, b = png_ds[i], pk_ds[i]  # same seed -> same night pairing
+        for k in ("rgb_day", "ir_day", "label_day", "rgb_night", "ir_night"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    # dispatch: pack dir -> packed loader; PNG tree -> file loader
+    assert isinstance(open_freiburg_train(pack_dir),
+                      PackedFreiburgTrainDataset)
+    assert isinstance(open_freiburg_train(roots["train"]),
+                      FreiburgThermalDataset)
+
+    # a real trainer consumes the pack (decode-free path end to end)
+    from heatnet_tpu.cli.train_plain import main as plain_main
+    loss = plain_main(["--dataroot", pack_dir, "--n_epochs", "1",
+                       "--max_iters_per_epoch", "1", "--batch_size", "2",
+                       "--structure", "1", "1", "1", "1",
+                       "--checkpointname",
+                       os.path.join(roots["base"], "pk_ckpt"),
+                       "--log_dir", os.path.join(roots["base"], "runs")])
+    assert np.isfinite(loss)
