@@ -45,6 +45,28 @@ def maybe_initialize_distributed() -> None:
             process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
     else:
         jax.distributed.initialize()
+    _rendezvous_collective()
+
+
+def _rendezvous_collective() -> None:
+    """Run one tiny cross-process collective immediately after joining.
+
+    Two jobs: (a) fail fast on broken inter-host connectivity instead of
+    minutes later mid-step; (b) establish the collective clique context
+    while every process is at the same point. XLA's CPU/gloo rendezvous
+    at the FIRST collective has a fixed 30 s key-value timeout with no
+    knob, and without this the first collective happens after model
+    compilation — whose duration differs across hosts (cold vs warm
+    compile cache, host load) by more than that. Once the context exists
+    it is reused by later programs: measured on 2 gloo processes, a
+    45 s-skewed subsequent program succeeds after this warm-up and dies
+    in rendezvous without it.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("heatnet_tpu:init")
 
 
 def create_mesh(
