@@ -69,13 +69,22 @@ def _device_normalize(x: jax.Array) -> jax.Array:
 
 
 def _forward_factory(model, variables, modalities: str, pred_lut=None):
-    """Jitted forward → (argmax prediction, iou count triple)."""
+    """Jitted forward → (argmax prediction, iou count triple).
+
+    The jitted function takes ONLY the model inputs + label positionally —
+    never the whole batch dict. Passing the dict would ship every leaf to
+    the device (the unused ``rgb_org``/``ir_org`` vis copies are ~200 MB
+    per 128-batch). The prediction returns as uint8 (classes < 256): the
+    full-resolution class map is the one large device→host transfer on
+    the save path, and int32 quadruples its bytes for nothing — measured
+    6.2 s/batch against 0.93 s over this image's relay link, and it's
+    PCIe time on a real host too.
+    """
     lut = None if pred_lut is None else jnp.asarray(pred_lut)
 
     @jax.jit
-    def forward(batch):
-        ins = [_device_normalize(jnp.asarray(x))
-               for x in _pack_inputs(batch, modalities)]
+    def _forward(ins, label):
+        ins = [_device_normalize(x) for x in ins]
         if len(ins) == 2:
             seg, _, _ = model.apply(variables, ins[0], ins[1], train=False)
         else:
@@ -83,8 +92,12 @@ def _forward_factory(model, variables, modalities: str, pred_lut=None):
         pred = jnp.argmax(seg, axis=-1)
         if lut is not None:
             pred = lut[pred]
-        counts = iou_counts(pred, jnp.asarray(batch["label"]).astype(jnp.int32))
-        return pred, counts
+        counts = iou_counts(pred, label.astype(jnp.int32))
+        return pred.astype(jnp.uint8), counts
+
+    def forward(batch):
+        return _forward(tuple(_pack_inputs(batch, modalities)),
+                        jnp.asarray(batch["label"]))
 
     return forward
 
@@ -102,7 +115,8 @@ def _eval_batch_size(batch_size: Optional[int]) -> int:
                                   DEFAULT_EVAL_BATCH)), 1)
 
 
-def _batched(loader: Iterable, batch_size: int, pad_label: int = 13):
+def _batched(loader: Iterable, batch_size: int, pad_label: int = 13,
+             keys=None):
     """Group per-item dicts (leading dim 1) into fixed-size batches.
 
     The ragged tail pads to ``batch_size`` by repeating the last frame
@@ -112,6 +126,10 @@ def _batched(loader: Iterable, batch_size: int, pad_label: int = 13):
     every forward runs at one static batch shape. Replaces the reference's
     one-frame-at-a-time loop (and its DataParallel batch-doubling hack,
     validation_bdd_mf.py:297-299). Yields (batch, valid_count).
+
+    ``keys``: when given, only these dict keys are stacked — callers that
+    don't save visuals skip concatenating the ``rgb_org``/``ir_org`` copies
+    (~2 s of host time per 128-batch, measured).
     """
     from ..parallel.mesh import pad_batch_to
 
@@ -120,7 +138,7 @@ def _batched(loader: Iterable, batch_size: int, pad_label: int = 13):
     def emit(items):
         batch = {k: np.concatenate([np.asarray(it[k]) for it in items],
                                    axis=0)
-                 for k in items[0]}
+                 for k in items[0] if keys is None or k in keys}
         valid = len(items)
         if valid < batch_size:
             batch, valid = pad_batch_to(batch, batch_size)
@@ -139,15 +157,29 @@ def _batched(loader: Iterable, batch_size: int, pad_label: int = 13):
         yield emit(buf)
 
 
+def _needed_keys(modalities: str, with_label: bool = True):
+    """Minimal batch keys for a no-save eval pass over ``modalities``."""
+    keys = set()
+    if "rgb" in modalities:
+        keys.add("rgb")
+    if "ir" in modalities:
+        keys.add("ir")
+    if with_label:
+        keys.add("label")
+    return keys
+
+
 def _accumulate(forward, loader: Iterable, save_hook=None,
                 n_classes: int = 13, batch_size: Optional[int] = None,
-                pad_label: int = 13):
+                pad_label: int = 13, keys=None):
     inter = np.zeros(n_classes, np.int64)
     pred_cnt = np.zeros(n_classes, np.int64)
     targ_cnt = np.zeros(n_classes, np.int64)
     frame = 0
     for batch, valid in _batched(loader, _eval_batch_size(batch_size),
-                                 pad_label):
+                                 pad_label,
+                                 keys=None if save_hook is not None
+                                 else keys):
         pred, (bi, bp, bt) = forward(batch)
         inter += np.asarray(bi, np.int64)
         pred_cnt += np.asarray(bp, np.int64)
@@ -193,7 +225,8 @@ def validate_model(model, variables, loader, modalities: str,
     """
     forward = _forward_factory(model, variables, modalities)
     ious = _accumulate(forward, loader, _save_hook(save_dir),
-                       batch_size=batch_size)
+                       batch_size=batch_size,
+                       keys=_needed_keys(modalities))
     if logger is not None:
         logs = {f"{mode}_Test mean IoU": float(np.nanmean(ious))}
         for k, name in enumerate(_PER_CLASS_KEYS):
@@ -211,7 +244,8 @@ def validate_model_mfnet(model, variables, loader, modalities: str,
     lut = mapping_to_lut(HEATNET_TO_MFNET, num_src=14, default=0)
     forward = _forward_factory(model, variables, modalities, pred_lut=lut)
     ious = _accumulate(forward, loader, _save_hook(save_dir),
-                       batch_size=batch_size)
+                       batch_size=batch_size,
+                       keys=_needed_keys(modalities))
     if logger is not None:
         logger.log({
             f"{mode}_MFNET_Test mean IoU": float(np.nanmean(ious)),
@@ -241,7 +275,8 @@ def validate_model_bdd(model, variables, loader, logger=None,
     # ignore class (BDD id 13 is a REAL class, so the default pad of 13
     # would corrupt the padded rows after remapping)
     ious = _accumulate(forward, loader, _save_hook(save_dir),
-                       batch_size=batch_size, pad_label=255)
+                       batch_size=batch_size, pad_label=255,
+                       keys=_needed_keys("rgb"))
     if logger is not None:
         logs = {"BDD_Test mean IoU": float(np.nanmean(ious))}
         for k, name in enumerate(_PER_CLASS_KEYS):
@@ -259,15 +294,22 @@ def inference(model, variables, loader, modalities: str,
     from ..utils.vis import color_code_labels, save_image
 
     @jax.jit
-    def forward(batch):
-        ins = [_device_normalize(jnp.asarray(x))
-               for x in _pack_inputs(batch, modalities)]
+    def _forward(ins):
+        ins = [_device_normalize(x) for x in ins]
         seg, _, _ = model.apply(variables, ins[0],
                                 ins[1] if len(ins) == 2 else None, train=False)
-        return jnp.argmax(seg, axis=-1)
+        # uint8 class map: 4x fewer device->host bytes (see _forward_factory)
+        return jnp.argmax(seg, axis=-1).astype(jnp.uint8)
 
+    def forward(batch):
+        return _forward(tuple(_pack_inputs(batch, modalities)))
+
+    keys = _needed_keys(modalities, with_label=False)
+    if save_dir:
+        keys.add("rgb_org")
     n = 0
-    for batch, valid in _batched(loader, _eval_batch_size(batch_size)):
+    for batch, valid in _batched(loader, _eval_batch_size(batch_size),
+                                 keys=keys):
         pred = np.asarray(forward(batch))
         if save_dir:
             for j in range(valid):
