@@ -20,6 +20,14 @@ equivalent of ``requires_grad`` flips, with per-subtree RMSprop moments
 exactly like torch (frozen params' state untouched). The phase switch is a
 host-side counter; both steps are compiled once.
 
+Cost note: both steps differentiate w.r.t. the FULL param tree, but the
+masked optimizer maps frozen subtrees' updates through ``set_to_zero`` —
+their grads are dead values and XLA eliminates the frozen segnet's backward
+from the critic step entirely (measured compiled-FLOPs ratio critic/seg
+≈ 0.41; regression-guarded by
+tests/test_train.py::test_critic_step_dead_segnet_backward_is_eliminated).
+Do not replace the masking with anything that reads the frozen grads.
+
 The reference's per-phase masking of trainables: ``setPhase`` toggles only
 ``critics[*]`` and ``trgb_segnet`` — downscale nets, input adapter, and the
 adapter critic stay trainable in BOTH phases; the subtree split below mirrors

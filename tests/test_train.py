@@ -133,6 +133,27 @@ def test_adversarial_phase_param_isolation():
         assert np.isfinite(float(m2[k]))
 
 
+def test_critic_step_dead_segnet_backward_is_eliminated():
+    """The critic phase must not pay for the frozen segnet's backward.
+
+    critic_step takes grads w.r.t. the full param tree and relies on the
+    masked optimizer's ``set_to_zero`` making the segnet grads dead values
+    that XLA dead-code-eliminates (train/adversarial.py). If masking ever
+    switches to a passthrough that *reads* those grads, the critic phase —
+    ~90% of training iterations under the reference schedule (500 critic per
+    50 seg) — silently pays the dominant segnet backward again. Measured
+    compiled-FLOPs ratio is ~0.41 (fwd-only segnet + critic fwd/bwd vs full
+    fwd+bwd); assert a generous ceiling.
+    """
+    model, cfg, batch, state, seg_step, critic_step = _adv_fixture()
+    critic_flops = critic_step.lower(state, batch).compile().cost_analysis()["flops"]
+    seg_flops = seg_step.lower(
+        state, batch, jax.random.PRNGKey(1)).compile().cost_analysis()["flops"]
+    assert critic_flops < 0.7 * seg_flops, (
+        f"critic step FLOPs {critic_flops:.3e} vs seg {seg_flops:.3e}: "
+        "frozen-segnet backward is being computed")
+
+
 def test_adversarial_no_conf_plain_ce():
     cfg = AdversarialConfig()
     model = ConfSegnet(disc_arch="resnet18", num_critics=2, structure=TINY,
