@@ -119,25 +119,32 @@ def main(argv=None) -> float:
     from ..eval.validate import (validate_model, validate_model_bdd,
                                  validate_model_mfnet)
 
+    import jax
+
+    from ..parallel.mesh import create_mesh
+
     enable_compilation_cache()
+    # eval rides every device (see eval/validate._forward_factory)
+    eval_mesh = create_mesh() if jax.device_count() > 1 else None
     model, variables = _load_segnet(args)
 
     if args.cmd == "freiburg":
         ds = FreiburgThermalTestDataset(*get_test_paths([args.data]))
         ious = validate_model(model, variables, _iter(ds), args.modalities,
-                              mode=args.split, save_dir=args.save_dir)
+                              mode=args.split, save_dir=args.save_dir,
+                              mesh=eval_mesh)
         return _print_ious(ious, CLASS_NAMES_13)
     if args.cmd == "mfnet":
         ds = MFNetDataset(args.data, split=args.split)
         ious = validate_model_mfnet(model, variables, _iter(ds),
                                     args.modalities, mode=args.split,
-                                    save_dir=args.save_dir)
+                                    save_dir=args.save_dir, mesh=eval_mesh)
         return _print_ious(ious, ["unlabelled", "car", "person", "bike",
                                   "curve"])
     if args.cmd == "bdd":
         ds = BDDValDataset(args.data)
         ious = validate_model_bdd(model, variables, _iter(ds),
-                                  save_dir=args.save_dir)
+                                  save_dir=args.save_dir, mesh=eval_mesh)
         return _print_ious(ious, CLASS_NAMES_13)
     raise SystemExit(f"unknown command {args.cmd}")
 

@@ -40,8 +40,11 @@ def main(argv=None):
     from ..io.logging import RunLogger
     from ..models import ResNeXtSeg
     from ..models.registry import build_network
+    from ..parallel.mesh import create_mesh
 
     enable_compilation_cache()
+    # eval rides every device (see eval/validate._forward_factory)
+    eval_mesh = create_mesh() if jax.device_count() > 1 else None
     logger = RunLogger("hotnet-eval", log_dir=args.log_dir)
 
     def iter_ds(ds):
@@ -78,11 +81,11 @@ def main(argv=None):
         ious_night = validate_model(
             model, variables,
             iter_ds(FreiburgThermalTestDataset(*get_test_paths(night_roots))),
-            modalities, mode="night", logger=logger)
+            modalities, mode="night", logger=logger, mesh=eval_mesh)
         ious_day = validate_model(
             model, variables,
             iter_ds(FreiburgThermalTestDataset(*get_test_paths([args.testroot_day]))),
-            modalities, mode="day", logger=logger)
+            modalities, mode="day", logger=logger, mesh=eval_mesh)
         combined = float(np.nanmean((ious_day + ious_night) / 2))
         name = os.path.basename(os.path.normpath(run_dir))
         results[name] = combined

@@ -113,7 +113,8 @@ def main(argv=None) -> float:
                                      make_phase_optimizers)
     from ..train.optim import step_lr
     from ..train.state import init_model
-    from ..parallel.mesh import maybe_initialize_distributed, mesh_for_batch, replicate, shard_batch
+    from ..parallel.mesh import (create_mesh, maybe_initialize_distributed,
+                                 mesh_for_batch, replicate, shard_batch)
 
     # multi-host: join the jax.distributed world BEFORE any device
     # use (VERDICT r1: only cli/main.py initialized multi-host; on a
@@ -249,6 +250,11 @@ def main(argv=None) -> float:
         for i in range(len(ds)):
             yield ds[i]
 
+    # eval rides every device: batch dim sharded over a pure-data mesh
+    # (bit-identical IoUs — eval/validate._forward_factory). The reference
+    # evals frame-at-a-time regardless of its GPU count.
+    eval_mesh = create_mesh() if jax.device_count() > 1 else None
+
     # --infer dispatch (:311-324)
     if opt.infer != "":
         from ..data.loaders import FreiburgInferDataset
@@ -256,7 +262,7 @@ def main(argv=None) -> float:
         print('Starting inference on: %s....' % opt.infer)
         ds = FreiburgInferDataset(opt.infer)
         inference(segnet, fresh_variables(), iter_ds(ds), opt.modalities,
-                  save_dir=opt.im_save_dir)
+                  save_dir=opt.im_save_dir, mesh=eval_mesh)
         print('Inference successfull !!!!')
         return 0.0
 
@@ -275,18 +281,22 @@ def main(argv=None) -> float:
             ious = validate_model(segnet, fresh_variables(), iter_ds(ds),
                                   opt.modalities,
                                   mode="night" if night else "day",
-                                  logger=logger, save_dir=opt.im_save_dir)
+                                  logger=logger, save_dir=opt.im_save_dir,
+                                  mesh=eval_mesh)
         elif "MF" in opt.eval:
             ds = MFNetDataset(opt.testroot_mfnet,
                               split="night" if night else "day")
             ious = validate_model_mfnet(segnet, fresh_variables(), iter_ds(ds),
                                         opt.modalities,
                                         mode="night" if night else "day",
-                                        logger=logger, save_dir=opt.im_save_dir)
+                                        logger=logger,
+                                        save_dir=opt.im_save_dir,
+                                        mesh=eval_mesh)
         elif "BDD" in opt.eval:
             ds = BDDValDataset(opt.bdd_dir)
             ious = validate_model_bdd(segnet, fresh_variables(), iter_ds(ds),
-                                      logger=logger, save_dir=opt.im_save_dir)
+                                      logger=logger, save_dir=opt.im_save_dir,
+                                      mesh=eval_mesh)
         else:
             print('Eval dataset %s not known... exiting' % opt.eval)
             return 0.0
@@ -431,10 +441,10 @@ def main(argv=None) -> float:
             ious_night = validate_model(
                 segnet, v, iter_ds(make_fr_loader(
                     [r for r in (opt.testroot_night, opt.testroot_fence) if r])),
-                opt.modalities, mode="night", logger=logger)
+                opt.modalities, mode="night", logger=logger, mesh=eval_mesh)
             ious_day = validate_model(
                 segnet, v, iter_ds(make_fr_loader([opt.testroot_day])),
-                opt.modalities, mode="day", logger=logger)
+                opt.modalities, mode="day", logger=logger, mesh=eval_mesh)
             ious_combined = (ious_day + ious_night) / 2
             iou_mean = float(np.nanmean(ious_combined))
             logger.log({"combined_Test mean IoU": iou_mean})

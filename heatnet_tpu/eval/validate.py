@@ -68,7 +68,8 @@ def _device_normalize(x: jax.Array) -> jax.Array:
     return x
 
 
-def _forward_factory(model, variables, modalities: str, pred_lut=None):
+def _forward_factory(model, variables, modalities: str, pred_lut=None,
+                     mesh=None):
     """Jitted forward → (argmax prediction, iou count triple).
 
     The jitted function takes ONLY the model inputs + label positionally —
@@ -79,8 +80,19 @@ def _forward_factory(model, variables, modalities: str, pred_lut=None):
     the save path, and int32 quadruples its bytes for nothing — measured
     6.2 s/batch against 0.93 s over this image's relay link, and it's
     PCIe time on a real host too.
+
+    ``mesh``: shard eval over the mesh's data axis — params replicated
+    once at factory time, each batch placed with the batch dim split over
+    ``data``, and GSPMD runs the forward data-parallel with the per-class
+    count reduction riding ICI. The reference evals frame-at-a-time on one
+    GPU of its DataParallel group (validation_bdd_mf.py:297-302); here a
+    v5e-8 evaluates with all eight chips. IoUs are bit-identical to the
+    unsharded path (tests/test_validate.py::test_sharded_eval_bit_identical).
     """
     lut = None if pred_lut is None else jnp.asarray(pred_lut)
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+        variables = replicate(mesh, variables)
 
     @jax.jit
     def _forward(ins, label):
@@ -96,8 +108,12 @@ def _forward_factory(model, variables, modalities: str, pred_lut=None):
         return pred.astype(jnp.uint8), counts
 
     def forward(batch):
-        return _forward(tuple(_pack_inputs(batch, modalities)),
-                        jnp.asarray(batch["label"]))
+        ins = tuple(_pack_inputs(batch, modalities))
+        label = jnp.asarray(batch["label"])
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            ins, label = shard_batch(mesh, (ins, label))
+        return _forward(ins, label)
 
     return forward
 
@@ -108,11 +124,19 @@ def _forward_factory(model, variables, modalities: str, pred_lut=None):
 DEFAULT_EVAL_BATCH = 16
 
 
-def _eval_batch_size(batch_size: Optional[int]) -> int:
+def _eval_batch_size(batch_size: Optional[int], mesh=None) -> int:
     if batch_size is not None:
-        return max(int(batch_size), 1)
-    return max(int(os.environ.get("HEATNET_EVAL_BATCH",
-                                  DEFAULT_EVAL_BATCH)), 1)
+        b = max(int(batch_size), 1)
+    else:
+        b = max(int(os.environ.get("HEATNET_EVAL_BATCH",
+                                   DEFAULT_EVAL_BATCH)), 1)
+    if mesh is not None:
+        # the sharded batch dim must divide the data axis; round up so the
+        # padded tail rows (ignore-labelled) absorb the remainder
+        from ..parallel.mesh import DATA_AXIS
+        d = dict(mesh.shape).get(DATA_AXIS, 1)
+        b = ((b + d - 1) // d) * d
+    return b
 
 
 def _batched(loader: Iterable, batch_size: int, pad_label: int = 13,
@@ -171,12 +195,12 @@ def _needed_keys(modalities: str, with_label: bool = True):
 
 def _accumulate(forward, loader: Iterable, save_hook=None,
                 n_classes: int = 13, batch_size: Optional[int] = None,
-                pad_label: int = 13, keys=None):
+                pad_label: int = 13, keys=None, mesh=None):
     inter = np.zeros(n_classes, np.int64)
     pred_cnt = np.zeros(n_classes, np.int64)
     targ_cnt = np.zeros(n_classes, np.int64)
     frame = 0
-    for batch, valid in _batched(loader, _eval_batch_size(batch_size),
+    for batch, valid in _batched(loader, _eval_batch_size(batch_size, mesh),
                                  pad_label,
                                  keys=None if save_hook is not None
                                  else keys):
@@ -218,15 +242,17 @@ def _save_hook(save_dir: str):
 
 def validate_model(model, variables, loader, modalities: str,
                    mode: str = "day", logger=None, save_dir: str = "",
-                   batch_size: Optional[int] = None) -> np.ndarray:
+                   batch_size: Optional[int] = None,
+                   mesh=None) -> np.ndarray:
     """Freiburg Thermal validation (validation_bdd_mf.py:259-379).
 
     Returns the 12-entry per-class IoU vector (classes 12/13 skipped).
+    Pass ``mesh`` to shard eval over all devices (see _forward_factory).
     """
-    forward = _forward_factory(model, variables, modalities)
+    forward = _forward_factory(model, variables, modalities, mesh=mesh)
     ious = _accumulate(forward, loader, _save_hook(save_dir),
                        batch_size=batch_size,
-                       keys=_needed_keys(modalities))
+                       keys=_needed_keys(modalities), mesh=mesh)
     if logger is not None:
         logs = {f"{mode}_Test mean IoU": float(np.nanmean(ious))}
         for k, name in enumerate(_PER_CLASS_KEYS):
@@ -238,14 +264,16 @@ def validate_model(model, variables, loader, modalities: str,
 def validate_model_mfnet(model, variables, loader, modalities: str,
                          mode: str = "day", logger=None,
                          save_dir: str = "",
-                         batch_size: Optional[int] = None) -> np.ndarray:
+                         batch_size: Optional[int] = None,
+                         mesh=None) -> np.ndarray:
     """MFNet validation: HeatNet preds → MFNet label space, then IoU
     (validation_bdd_mf.py:145-257; unmapped predictions become class 0)."""
     lut = mapping_to_lut(HEATNET_TO_MFNET, num_src=14, default=0)
-    forward = _forward_factory(model, variables, modalities, pred_lut=lut)
+    forward = _forward_factory(model, variables, modalities, pred_lut=lut,
+                               mesh=mesh)
     ious = _accumulate(forward, loader, _save_hook(save_dir),
                        batch_size=batch_size,
-                       keys=_needed_keys(modalities))
+                       keys=_needed_keys(modalities), mesh=mesh)
     if logger is not None:
         logger.log({
             f"{mode}_MFNET_Test mean IoU": float(np.nanmean(ious)),
@@ -259,12 +287,13 @@ def validate_model_mfnet(model, variables, loader, modalities: str,
 
 def validate_model_bdd(model, variables, loader, logger=None,
                        save_dir: str = "",
-                       batch_size: Optional[int] = None) -> np.ndarray:
+                       batch_size: Optional[int] = None,
+                       mesh=None) -> np.ndarray:
     """BDD night validation: BDD GT ids → HeatNet labels, RGB-only model
     input (validation_bdd_mf.py:39-143)."""
     gt_lut = mapping_to_lut(BDD_TO_HEATNET, num_src=256, default=13)
 
-    base = _forward_factory(model, variables, "rgb")
+    base = _forward_factory(model, variables, "rgb", mesh=mesh)
 
     def forward(batch):
         batch = dict(batch)
@@ -276,7 +305,7 @@ def validate_model_bdd(model, variables, loader, logger=None,
     # would corrupt the padded rows after remapping)
     ious = _accumulate(forward, loader, _save_hook(save_dir),
                        batch_size=batch_size, pad_label=255,
-                       keys=_needed_keys("rgb"))
+                       keys=_needed_keys("rgb"), mesh=mesh)
     if logger is not None:
         logs = {"BDD_Test mean IoU": float(np.nanmean(ious))}
         for k, name in enumerate(_PER_CLASS_KEYS):
@@ -287,11 +316,15 @@ def validate_model_bdd(model, variables, loader, logger=None,
 
 def inference(model, variables, loader, modalities: str,
               save_dir: str = "",
-              batch_size: Optional[int] = None) -> int:
+              batch_size: Optional[int] = None, mesh=None) -> int:
     """Label-free inference with png dumps (validation_bdd_mf.py:381-429)."""
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
     from ..utils.vis import color_code_labels, save_image
+
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+        variables = replicate(mesh, variables)
 
     @jax.jit
     def _forward(ins):
@@ -302,13 +335,17 @@ def inference(model, variables, loader, modalities: str,
         return jnp.argmax(seg, axis=-1).astype(jnp.uint8)
 
     def forward(batch):
-        return _forward(tuple(_pack_inputs(batch, modalities)))
+        ins = tuple(_pack_inputs(batch, modalities))
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            ins = shard_batch(mesh, ins)
+        return _forward(ins)
 
     keys = _needed_keys(modalities, with_label=False)
     if save_dir:
         keys.add("rgb_org")
     n = 0
-    for batch, valid in _batched(loader, _eval_batch_size(batch_size),
+    for batch, valid in _batched(loader, _eval_batch_size(batch_size, mesh),
                                  keys=keys):
         pred = np.asarray(forward(batch))
         if save_dir:

@@ -155,3 +155,44 @@ def test_batched_inference_counts_and_dumps(tmp_path):
     import os
     assert sorted(os.listdir(out)).count("pred_4.png") == 1
     assert not os.path.exists(os.path.join(out, "pred_5.png"))
+
+
+def test_sharded_eval_bit_identical():
+    """mesh=: eval rides the whole data axis (8 virtual devices here) and
+    must reproduce the single-device per-class IoUs bit-for-bit — including
+    a ragged tail (5 items, batch rounded up to the device count) and the
+    MFNet prediction-LUT path."""
+    from heatnet_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    model, variables = _model_and_vars()
+
+    base = validate_model(model, variables, _loader(n=5), "ir_rgb",
+                          batch_size=1)
+    sharded = validate_model(model, variables, _loader(n=5), "ir_rgb",
+                             batch_size=3, mesh=mesh)  # rounds up to 8
+    np.testing.assert_array_equal(np.isnan(base), np.isnan(sharded))
+    np.testing.assert_allclose(base[~np.isnan(base)],
+                               sharded[~np.isnan(sharded)], rtol=0, atol=0)
+
+    base_mf = validate_model_mfnet(model, variables, _loader(n=3), "ir_rgb",
+                                   batch_size=1)
+    sh_mf = validate_model_mfnet(model, variables, _loader(n=3), "ir_rgb",
+                                 mesh=mesh)
+    np.testing.assert_array_equal(np.isnan(base_mf), np.isnan(sh_mf))
+    np.testing.assert_allclose(base_mf[~np.isnan(base_mf)],
+                               sh_mf[~np.isnan(sh_mf)], rtol=0, atol=0)
+
+
+def test_sharded_inference_counts(tmp_path):
+    from heatnet_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    model, variables = _model_and_vars()
+    out = str(tmp_path / "dumps")
+    n = inference(model, variables, _loader(n=5), "ir_rgb",
+                  save_dir=out, mesh=mesh)
+    assert n == 5
+    import os
+    assert os.path.exists(os.path.join(out, "pred_4.png"))
+    assert not os.path.exists(os.path.join(out, "pred_5.png"))
