@@ -68,7 +68,9 @@ def main(argv=None) -> float:
     from ..io.logging import AverageMeter, RunLogger
     from ..models import NormAct, get_model
     from ..ops.iou import confusion_matrix
-    from ..parallel.mesh import mesh_for_batch, maybe_initialize_distributed, shard_batch, replicate
+    from ..parallel.mesh import (DATA_AXIS, mesh_for_batch,
+                                 maybe_initialize_distributed, pad_batch_to,
+                                 replicate, shard_batch)
     from ..train.optim import poly_lr
     from ..train.state import TrainState, init_model
     from ..train.supervised import make_eval_step, make_train_step
@@ -165,12 +167,27 @@ def main(argv=None) -> float:
         dropout_rng=jax.random.PRNGKey(1) if has_dropout else None)
     eval_step = make_eval_step(model, num_classes=14)
 
+    # eval batch: sharded over the mesh's data axis (the reference validates
+    # frame-at-a-time, scripts/main.py:275-305); the ragged tail pads with
+    # label 13, whose confusion row IoU(…, [12,13]) zeroes, so per-class
+    # IoUs are unchanged while every chip works and one program is cached
+    d = dict(mesh.shape).get(DATA_AXIS, 1)
+    eval_bs = ((16 + d - 1) // d) * d
+
     def validate() -> float:
         metric = IoU(14, False, [12, 13])
-        for batch in batch_iterator(val_ds, batch_size=1, shuffle=False,
+        for batch in batch_iterator(val_ds, batch_size=eval_bs, shuffle=False,
                                     drop_last=False):
-            conf_mat = eval_step(state, {"image": jnp.asarray(batch["image"]),
-                                         "label": jnp.asarray(batch["label"])})
+            b = {"image": batch["image"], "label": batch["label"]}
+            n = b["image"].shape[0]
+            if n < eval_bs:
+                b, _ = pad_batch_to(b, eval_bs)
+                lbl = np.asarray(b["label"]).copy()
+                lbl[n:] = 13
+                b["label"] = lbl
+            conf_mat = eval_step(state, shard_batch(mesh, {
+                "image": jnp.asarray(b["image"]),
+                "label": jnp.asarray(b["label"])}))
             metric.add_confusion(np.asarray(conf_mat))
         iou, miou = metric.value()
         print(f" * mIoU {miou:.4f}")

@@ -122,18 +122,54 @@ def main(argv=None) -> float:
         seg = model.apply(variables, image, train=False)
         return confusion_matrix(jnp.argmax(seg, -1), label, n_class)
 
+    # eval rides every device: fixed-size batches sharded over a pure-data
+    # mesh; ragged-tail labels pad with n_class, which confusion_matrix's
+    # one-hot drops, so cf is bit-identical to the per-item loop (the
+    # reference harness tests frame-at-a-time, rtfnet/test.py)
+    from ..parallel.mesh import DATA_AXIS, create_mesh, replicate, shard_batch
+
+    eval_mesh = create_mesh() if jax.device_count() > 1 else None
+    d = dict(eval_mesh.shape).get(DATA_AXIS, 1) if eval_mesh else 1
+    eval_bs = ((8 + d - 1) // d) * d
+
     def evaluate(split: str) -> float:
         ds = MFNetDataset(args.data_dir, split=split)
         cf = np.zeros((n_class, n_class), np.int64)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if eval_mesh is not None:
+            variables = replicate(eval_mesh, variables)
+        imgs, lbls = [], []
+
+        def flush():
+            nonlocal cf
+            if not imgs:
+                return
+            img = np.concatenate(imgs)
+            lbl = np.concatenate(lbls)
+            n = img.shape[0]
+            if n < eval_bs:
+                img = np.concatenate(
+                    [img, np.repeat(img[-1:], eval_bs - n, axis=0)])
+                lbl = np.concatenate(
+                    [lbl, np.full((eval_bs - n,) + lbl.shape[1:], n_class,
+                                  lbl.dtype)])
+            img_j, lbl_j = jnp.asarray(img), jnp.asarray(lbl)
+            if eval_mesh is not None:
+                img_j, lbl_j = shard_batch(eval_mesh, (img_j, lbl_j))
+            cf += np.asarray(eval_step(variables, img_j, lbl_j), np.int64)
+            imgs.clear()
+            lbls.clear()
+
         for i in range(len(ds)):
             item = ds[i]
             # harness protocol: images scaled /255 only (MF_dataset.py:42,
             # test.py) — use the un-mean-subtracted arrays
-            img = jnp.concatenate([jnp.asarray(item["rgb_org"]),
-                                   jnp.asarray(item["ir_org"])], axis=-1)
-            cf += np.asarray(eval_step(variables, img,
-                                       jnp.asarray(item["label"])), np.int64)
+            imgs.append(np.concatenate([np.asarray(item["rgb_org"]),
+                                        np.asarray(item["ir_org"])], axis=-1))
+            lbls.append(np.asarray(item["label"]))
+            if len(imgs) == eval_bs:
+                flush()
+        flush()
         overall_acc, acc, iou = calculate_result(cf)
         print(f"[{split}] overall_acc {overall_acc:.4f} "
               f"mIoU {np.nanmean(iou[1:]):.4f}")
