@@ -86,8 +86,10 @@ def _load_segnet(args):
 
 
 def _iter(ds):
-    for i in range(len(ds)):
-        yield ds[i]
+    # threaded decode-ahead (see data.loaders.prefetch_items)
+    from ..data.loaders import prefetch_items
+
+    return prefetch_items(ds)
 
 
 # derived from the single source of truth; the rstrip removes the

@@ -48,8 +48,10 @@ def main(argv=None):
     logger = RunLogger("hotnet-eval", log_dir=args.log_dir)
 
     def iter_ds(ds):
-        for i in range(len(ds)):
-            yield ds[i]
+        # threaded decode-ahead (see data.loaders.prefetch_items)
+        from ..data.loaders import prefetch_items
+
+        return prefetch_items(ds)
 
     night_roots = [r for r in (args.testroot_night, args.testroot_fence) if r]
     results = {}

@@ -247,8 +247,11 @@ def main(argv=None) -> float:
         return v
 
     def iter_ds(ds):
-        for i in range(len(ds)):
-            yield ds[i]
+        # threaded decode-ahead: PNG decode overlaps the device forward
+        # (the reference's DataLoader(num_workers) analog for eval)
+        from ..data.loaders import prefetch_items
+
+        return prefetch_items(ds)
 
     # eval rides every device: batch dim sharded over a pure-data mesh
     # (bit-identical IoUs — eval/validate._forward_factory). The reference
