@@ -247,11 +247,14 @@ def main(argv=None) -> Optional[str]:
                     for seq, (s, src) in enumerate(queues[ti2]):
                         dst = os.path.join(
                             save_dirs[ti2], _name(prefix, burst_stamp, seq))
+                        if _is_lidar(src):
+                            # rename BEFORE recording/dedup so the paths
+                            # manifest points at the .npy actually written
+                            dst = dst[:-4] + ".npy"
                         paths_out.append(dst)
                         if os.path.isfile(dst):
                             continue
                         if _is_lidar(src):
-                            dst = dst[:-4] + ".npy"
                             np.save(dst, np.load(src))
                             written += 1
                             continue

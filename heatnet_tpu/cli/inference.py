@@ -231,9 +231,12 @@ def _main(args) -> float:
               f"({n} frames, batch {args.batch}, decode+H2D+forward"
               f"{'+save' if args.im_save_dir else ''})")
     else:
+        # --batch 0 keeps the reference's frame-at-a-time loop (and the
+        # documented batch-1 int8→bf16 auto-fallback); batch_size=1, not
+        # the validators' default of 16
         n = inference(model, variables,
                       (ds[i] for i in range(len(ds))), args.modalities,
-                      save_dir=args.im_save_dir)
+                      save_dir=args.im_save_dir, batch_size=1)
     print(f"Ran inference on {n} frames")
     return dt
 

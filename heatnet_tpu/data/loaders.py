@@ -164,10 +164,31 @@ def open_freiburg_train(db_path: str, split: str = "train",
     memmap-backed ``PackedFreiburgTrainDataset`` is returned (test-stamp
     filtering was baked at pack time); otherwise the PNG-tree loader.
     Every trainer opens its Freiburg training data through this.
+
+    A pack's baked-in choices are cross-checked against the caller's:
+    requesting a different ``split``, or passing ``test_stamps`` to a pack
+    built without test-stamp filtering, would silently train on eval
+    frames (test-set leakage) — both raise instead.
     """
+    import json
+
     from .packed import PackedFreiburgTrainDataset, is_train_pack_dir
 
     if is_train_pack_dir(db_path):
+        with open(os.path.join(db_path, "meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("split", "train") != split:
+            raise ValueError(
+                f"train pack {db_path} was packed with split="
+                f"{meta.get('split', 'train')!r} but split={split!r} was "
+                f"requested; re-pack with cli/pack_frames.py --split {split}")
+        if test_stamps is not None and len(test_stamps) > 0 \
+                and not meta.get("test_stamps_filtered", False):
+            raise ValueError(
+                f"train pack {db_path} was packed WITHOUT test-stamp "
+                "filtering but --testroot_* test stamps were passed; "
+                "training on it would include eval frames. Re-pack with "
+                "cli/pack_frames.py --testroot_day/--testroot_night")
         return PackedFreiburgTrainDataset(db_path, seed=seed)
     return FreiburgThermalDataset(db_path, split=split,
                                   test_stamps=test_stamps, seed=seed)

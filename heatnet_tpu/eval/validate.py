@@ -144,19 +144,19 @@ def _batched(loader: Iterable, batch_size: int, pad_label: int = 13,
     """Group per-item dicts (leading dim 1) into fixed-size batches.
 
     The ragged tail pads to ``batch_size`` by repeating the last frame
-    (parallel.mesh.pad_batch_to) with the padded rows' labels forced to
-    ``pad_label`` — a value that lands in the IoU ignore class, so the
-    accumulated per-class counts are bit-identical to per-item eval while
-    every forward runs at one static batch shape. Replaces the reference's
-    one-frame-at-a-time loop (and its DataParallel batch-doubling hack,
-    validation_bdd_mf.py:297-299). Yields (batch, valid_count).
+    with the padded rows' labels forced to ``pad_label`` — a value that
+    lands in the IoU ignore class, so the accumulated per-class counts are
+    bit-identical to per-item eval while every forward runs at one static
+    batch shape. Padding is pure numpy: the host-only vis copies
+    (``rgb_org``/``ir_org``) must never round-trip through the device.
+    Replaces the reference's one-frame-at-a-time loop (and its
+    DataParallel batch-doubling hack, validation_bdd_mf.py:297-299).
+    Yields (batch, valid_count).
 
     ``keys``: when given, only these dict keys are stacked — callers that
     don't save visuals skip concatenating the ``rgb_org``/``ir_org`` copies
     (~2 s of host time per 128-batch, measured).
     """
-    from ..parallel.mesh import pad_batch_to
-
     buf = []
 
     def emit(items):
@@ -165,11 +165,11 @@ def _batched(loader: Iterable, batch_size: int, pad_label: int = 13,
                  for k in items[0] if keys is None or k in keys}
         valid = len(items)
         if valid < batch_size:
-            batch, valid = pad_batch_to(batch, batch_size)
+            batch = {k: np.concatenate(
+                [v, np.repeat(v[-1:], batch_size - valid, axis=0)], axis=0)
+                for k, v in batch.items()}
             if "label" in batch:
-                lbl = np.asarray(batch["label"]).copy()
-                lbl[valid:] = pad_label
-                batch["label"] = lbl
+                batch["label"][valid:] = pad_label
         return batch, valid
 
     for item in loader:
@@ -179,6 +179,20 @@ def _batched(loader: Iterable, batch_size: int, pad_label: int = 13,
             buf = []
     if buf:
         yield emit(buf)
+
+
+def _to_host(x) -> np.ndarray:
+    """Device→host fetch that survives multi-process meshes.
+
+    On a multi-host slice the jitted forward's batch-sharded outputs span
+    non-addressable devices, where ``np.asarray`` raises; all-gather them
+    to every process first (each host saves/accumulates the full set, same
+    as the single-host path). Host arrays pass through untouched.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
 
 
 def _needed_keys(modalities: str, with_label: bool = True):
@@ -205,11 +219,11 @@ def _accumulate(forward, loader: Iterable, save_hook=None,
                                  keys=None if save_hook is not None
                                  else keys):
         pred, (bi, bp, bt) = forward(batch)
-        inter += np.asarray(bi, np.int64)
-        pred_cnt += np.asarray(bp, np.int64)
-        targ_cnt += np.asarray(bt, np.int64)
+        inter += _to_host(bi).astype(np.int64)
+        pred_cnt += _to_host(bp).astype(np.int64)
+        targ_cnt += _to_host(bt).astype(np.int64)
         if save_hook is not None:
-            pred_np = np.asarray(pred)
+            pred_np = _to_host(pred)
             for j in range(valid):
                 save_hook(frame + j, pred_np[j],
                           {k: np.asarray(v)[j] for k, v in batch.items()})
@@ -347,7 +361,7 @@ def inference(model, variables, loader, modalities: str,
     n = 0
     for batch, valid in _batched(loader, _eval_batch_size(batch_size, mesh),
                                  keys=keys):
-        pred = np.asarray(forward(batch))
+        pred = _to_host(forward(batch))
         if save_dir:
             for j in range(valid):
                 save_image(os.path.join(save_dir, f"pred_{n + j}.png"),

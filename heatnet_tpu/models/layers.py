@@ -671,10 +671,16 @@ class IdentityResidualBlock(nn.Module):
             out = ABN(self.norm_act, self.dtype, name="bn2")(out, train)
             conv2 = conv(chans[1], 3, dilation=self.dilation, groups=self.groups,
                          name="conv2", dtype=self.dtype)
-            bn3 = ABN(self.norm_act, self.dtype, name="bn3")
-            if (not train and self.groups > 1 and chans[0] == chans[1]
-                    and os.environ.get("HEATNET_GC_IMPL") == "pallas_fused"
-                    and isinstance(conv2, GroupedConvDense)):
+            fused_epi = (not train and self.groups > 1 and chans[0] == chans[1]
+                         and os.environ.get("HEATNET_GC_IMPL") == "pallas_fused"
+                         and isinstance(conv2, GroupedConvDense))
+            # when fused, bn3 computes ONLY the 2-row probe below — run it
+            # in float32 so recovering scale as BN(1)-BN(0) doesn't lose
+            # precision to cancellation (a bf16 probe carries ~2^-8 relative
+            # rounding into the subtraction when |running_mean| >> gamma)
+            bn3 = ABN(self.norm_act, jnp.float32 if fused_epi else self.dtype,
+                      name="bn3")
+            if fused_epi:
                 # VERDICT r1 item 6: hand bn3's inference affine to the
                 # grouped conv so BN+act ride the kernel epilogue (or a
                 # manual affine on the XLA paths) instead of a separate
@@ -683,9 +689,9 @@ class IdentityResidualBlock(nn.Module):
                 # bn3's variables with identical names/shapes, so
                 # checkpoints are unaffected.
                 probe = jnp.concatenate(
-                    [jnp.zeros((1, 1, 1, chans[1]), self.dtype),
-                     jnp.ones((1, 1, 1, chans[1]), self.dtype)])
-                tb = bn3(probe, train=False, skip_act=True).astype(jnp.float32)
+                    [jnp.zeros((1, 1, 1, chans[1]), jnp.float32),
+                     jnp.ones((1, 1, 1, chans[1]), jnp.float32)])
+                tb = bn3(probe, train=False, skip_act=True)
                 bias_v, scale_v = tb[0, 0, 0], tb[1, 0, 0] - tb[0, 0, 0]
                 out = conv2(out, epilogue=(scale_v, bias_v, self.norm_act))
             else:

@@ -368,11 +368,13 @@ def test_heat_stats_roundtrip_and_html(tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _make_capture(tmp_path, n_frames=12, dt=0.03):
+def _make_capture(tmp_path, n_frames=12, dt=0.03, lidar=False):
     import cv2
 
     cap = tmp_path / "capture"
     topics = ["rgb_fl_burst", "ir_left_burst"]
+    if lidar:
+        topics.append("lidar_burst")
     rng = np.random.default_rng(0)
     base = 1594000000.0  # 2020-07-06 day-time UTC
     for ti, topic in enumerate(topics):
@@ -381,12 +383,16 @@ def _make_capture(tmp_path, n_frames=12, dt=0.03):
         for i in range(n_frames):
             t = base + i * dt + ti * 0.001  # 1 ms skew between streams
             secs, nsecs = int(t), int(round((t - int(t)) * 1e9))
-            if "ir" in topic:
+            if "lidar" in topic:
+                np.save(str(d / f"{secs}_{nsecs}.npy"),
+                        rng.standard_normal((16, 4), dtype=np.float32))
+            elif "ir" in topic:
                 img = rng.integers(21000, 26000, (8, 8),
                                    dtype=np.uint16)
+                cv2.imwrite(str(d / f"{secs}_{nsecs}.png"), img)
             else:
                 img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
-            cv2.imwrite(str(d / f"{secs}_{nsecs}.png"), img)
+                cv2.imwrite(str(d / f"{secs}_{nsecs}.png"), img)
     with open(cap / "tf.jsonl", "w") as f:
         for i in range(n_frames + 2):
             t = base - dt + i * dt
@@ -450,6 +456,32 @@ def test_dump_capture_end_to_end(tmp_path):
     assert dump_main([
         "--capture", str(cap), "--out", str(out),
         "--topics", *topics, "--prefixes", "fl_rgb", "fl_ir"]) is None
+
+
+def test_dump_capture_lidar_manifest(tmp_path):
+    """Lidar frames dump as .npy and the paths manifest records the .npy
+    names actually on disk (not the pre-rename .png names)."""
+    from heatnet_tpu.cli.dump_capture import main as dump_main
+
+    cap, topics = _make_capture(tmp_path, lidar=True)
+    out = tmp_path / "dumped"
+    save_dir = dump_main([
+        "--capture", str(cap), "--out", str(out),
+        "--topics", *topics, "--prefixes", "fl_rgb", "fl_ir", "lidar",
+        "--heatmap-min-dist", "0.5"])
+    assert save_dir is not None
+
+    lidar_files = os.listdir(os.path.join(save_dir, "lidar"))
+    assert lidar_files and all(p.endswith(".npy") for p in lidar_files)
+    pts = np.load(os.path.join(save_dir, "lidar", lidar_files[0]))
+    assert pts.shape == (16, 4)
+
+    paths_files = sorted(os.listdir(os.path.join(save_dir, "paths")))
+    lidar_paths = [p for p in paths_files if p.startswith("lidar")]
+    assert len(lidar_paths) == 1
+    for line in open(os.path.join(save_dir, "paths", lidar_paths[0])):
+        for p in line.split():
+            assert p.endswith(".npy") and os.path.isfile(p), p
 
 
 # ---------------------------------------------------------------------------

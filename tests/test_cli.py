@@ -356,6 +356,14 @@ def test_train_pack_and_packed_training(roots):
     assert isinstance(open_freiburg_train(roots["train"]),
                       FreiburgThermalDataset)
 
+    # leakage guards: a pack baked with a different split, or without
+    # test-stamp filtering when stamps are passed, must refuse to load
+    import pytest
+    with pytest.raises(ValueError, match="split"):
+        open_freiburg_train(pack_dir, split="test")
+    with pytest.raises(ValueError, match="test-stamp"):
+        open_freiburg_train(pack_dir, test_stamps=[(1, 2)])
+
     # a real trainer consumes the pack (decode-free path end to end)
     from heatnet_tpu.cli.train_plain import main as plain_main
     loss = plain_main(["--dataroot", pack_dir, "--n_epochs", "1",
