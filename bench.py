@@ -19,7 +19,10 @@ Measured design decisions (v5e, tools/bench_grouped_conv.py + this file):
   N*H*W*cpg >= 4e5; GroupedConvDense table): at batch 128 that lifts
   357 -> 415 fps over a fixed channels-per-group threshold.
 - Batch 128 for throughput: 157 fps @8 / 342 @64 / 415 @128 / 374 @192 /
-  356 @256 — 128 is the HBM sweet spot (~66% useful-FLOPs MFU).
+  356 @256 — 128 is the sweet spot (pre-banding sweep).
+- Banded dilated convs (models/layers.banded_dilated_conv): the ASPP
+  rate-36/24 branches skip their out-of-bounds taps — 415 -> 447 fps
+  (+7.8%), MFU 0.66 -> 0.71; int8 500 -> 524 fps (bit-identical there).
 
 Baseline denominator (the reference publishes no number, BASELINE.md): the
 reference model is 312.5 GFLOP/frame at 320x704 (conv FLOPs via hooks on

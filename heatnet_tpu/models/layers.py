@@ -279,6 +279,148 @@ class GroupedConvDense(nn.Module):
         ))
 
 
+def banded_dilated_conv(x, kern, dilation: int, dtype,
+                        mode: str = "auto"):
+    """Dilated 3x3 conv that skips the out-of-bounds taps XLA computes.
+
+    At ASPP geometry (trgb_segnet.py:143-150: rates [12,24,36] on the
+    1/8-res grid — 40x88 at the flagship 320x964 input) a dilated 3x3
+    conv's +/-r row taps land in zero padding for most of the grid: at
+    rate 36 on 40 rows, the side-row taps are valid for only 4 of 40
+    output rows, yet XLA's dense conv runs all 9 taps everywhere — the
+    device trace shows the three ASPP branch convs at ~95% MXU
+    occupancy, 22.6 ms each (tools/profile_infer.py --trace, batch
+    128), a third of it multiplying padding.
+
+    This computes the SAME zero-padded conv (padding == dilation) as
+    row/column bands: the center kernel row over the full grid, the
+    side rows only on their (S - r)-row valid slices, summed in f32.
+    Savings are real only when the valid band is small — the side-band
+    input slices materialize (a conv operand cannot host a fused
+    slice), costing ~3 extra passes over the band's bytes. An axis is
+    decomposed iff the modeled MXU time saved exceeds the added HBM
+    traffic with margin:
+
+        saved  = (2/3) * (r/S) * FLOPs/PEAK        (2 of k side taps idle)
+        extra  = 6 * ((S-r)/S) * bytes(x)/BW       (2 bands x slice r+w+read)
+        ratio  = saved/extra
+               = (2*K*cout*BW*r) / (9*esize*PEAK*(S-r)),  K = kh*kw
+
+    independent of batch/other-axis size (so symbolic-batch exports
+    dispatch identically). With margin 1.3 this decomposes rates 36 and
+    24 along H at the flagship grid (ratios 9.6 and 1.6) and correctly
+    rejects rate 12 (0.49) and all column decompositions — measured
+    e2e on the chip: **414.6 -> 447.1 fps** (bench.py, batch 128, MFU
+    0.66 -> 0.71). ``r >= S`` (side taps never valid) always
+    decomposes: the side bands vanish and only the center row is
+    computed at all.
+
+    Numerics: partial convs accumulate/sum in f32 and round to
+    ``dtype`` once, like the fused conv; summation order differs at
+    f32 rounding level (the forward-parity suite's tolerance covers
+    it). int8 inputs accumulate/sum in int32 — exact, so the int8
+    serving path is bit-identical banded or not (the esize halving and
+    the int8 MXU-rate doubling cancel in ``ratio``, so the same
+    geometries split). ``mode``: "auto" (cost model) | "off" |
+    "force" (tests).
+    """
+    integer = jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer)
+    accum = jnp.int32 if integer else jnp.float32
+    bw, peak = 819e9, 197e12  # v5e HBM B/s, bf16 FLOP/s
+    esize = jnp.dtype(dtype).itemsize
+    margin = 1.3
+
+    def should_split(r: int, size: int, k_elems: int, cout: int) -> bool:
+        if mode == "off" or k_elems <= 1:
+            return False
+        if r >= size:
+            return True
+        if mode == "force":
+            return True
+        ratio = (2 * k_elems * cout * bw * r) / (
+            9 * esize * peak * (size - r))
+        return ratio >= margin
+
+    r = dilation
+    cout = kern.shape[-1]
+
+    def conv_part(x, k, pad_h, pad_w, out_dtype):
+        if not integer:
+            x, k = x.astype(dtype), k.astype(dtype)
+        return jax.lax.conv_general_dilated(
+            x, k,
+            window_strides=(1, 1),
+            padding=((pad_h, pad_h), (pad_w, pad_w)),
+            rhs_dilation=(r, r),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=out_dtype)
+
+    def rec(x, k):
+        kh, kw = k.shape[0], k.shape[1]
+        h, w = x.shape[1], x.shape[2]
+        k_elems = kh * kw
+        if kh == 3 and should_split(r, h, k_elems, cout):
+            out = rec(x, k[1:2])
+            if h > r:
+                top = rec(x[:, : h - r], k[0:1])      # -> out rows [r, h)
+                bot = rec(x[:, r:], k[2:3])           # -> out rows [0, h-r)
+                out = (out
+                       + jnp.pad(top, ((0, 0), (r, 0), (0, 0), (0, 0)))
+                       + jnp.pad(bot, ((0, 0), (0, r), (0, 0), (0, 0))))
+            return out
+        if kw == 3 and should_split(r, w, k_elems, cout):
+            out = rec(x, k[:, 1:2])
+            if w > r:
+                lft = rec(x[:, :, : w - r], k[:, 0:1])
+                rgt = rec(x[:, :, r:], k[:, 2:3])
+                out = (out
+                       + jnp.pad(lft, ((0, 0), (0, 0), (r, 0), (0, 0)))
+                       + jnp.pad(rgt, ((0, 0), (0, 0), (0, r), (0, 0))))
+            return out
+        return conv_part(x, k, r if kh == 3 else 0, r if kw == 3 else 0,
+                         accum)
+
+    kh, kw = kern.shape[0], kern.shape[1]
+    h, w = x.shape[1], x.shape[2]
+    if not (should_split(r, h, kh * kw, cout)
+            or should_split(r, w, kh * kw, cout)):
+        # no decomposition: exactly the plain dilated conv (no f32 detour)
+        return conv_part(x, kern, r, r, accum if integer else dtype)
+    out = rec(x, kern)
+    return out if integer else out.astype(dtype)
+
+
+class DilatedConvBanded(nn.Module):
+    """3x3 dilated conv with OOB-tap elimination (see banded_dilated_conv).
+
+    Drop-in for ``nn.Conv`` at the ``padding == dilation`` (shape-
+    preserving) call sites: same ``kernel`` param name/shape/init, so
+    checkpoints, the torch importer and TP sharding are unaffected.
+    ``HEATNET_BANDED_DILATED=off`` restores the monolithic conv.
+    """
+
+    features: int
+    dilation: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
+        kern = self.param("kernel", self.kernel_init,
+                          (3, 3, x.shape[-1], self.features), jnp.float32)
+        mode = os.environ.get("HEATNET_BANDED_DILATED", "auto")
+        out = banded_dilated_conv(x, kern, self.dilation, self.dtype,
+                                  mode=mode)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 def _int8_batch_ok(n) -> bool:
     """int8 serving is a throughput mode — below the measured crossover
     batch it REGRESSES, so serve the float conv there even under
@@ -403,17 +545,27 @@ class Int8Conv(nn.Module):
             scale_var.value = jnp.maximum(scale_var.value, batch_scale)
 
         pad = ((self.padding, self.padding),) * 2
+        # shape-preserving dilated 3x3 (the int8 ASPP branches): band-
+        # decompose exactly like the bf16 path — int32 accumulation makes
+        # it bit-identical to the monolithic int8 conv (see
+        # banded_dilated_conv; the esize/int8-rate corrections cancel, so
+        # the same geometries split)
+        banded_ok = (self.kernel == 3 and self.dilation > 1
+                     and self.padding == self.dilation and self.stride == 1)
 
         def _int8(xf):
             x_scale = jnp.maximum(scale_var.value, 1e-12)
             x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
-            y = jax.lax.conv_general_dilated(
-                x_q, w_q,
-                window_strides=(self.stride, self.stride),
-                padding=pad,
-                rhs_dilation=(self.dilation, self.dilation),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
+            if banded_ok:
+                y = banded_dilated_conv(x_q, w_q, self.dilation, self.dtype)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x_q, w_q,
+                    window_strides=(self.stride, self.stride),
+                    padding=pad,
+                    rhs_dilation=(self.dilation, self.dilation),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
             return y.astype(self.dtype) * (x_scale * w_scale).astype(self.dtype)
 
         def _float(xf):
@@ -421,6 +573,9 @@ class Int8Conv(nn.Module):
             # under HEATNET_QUANT=int8): quantizing would saturate every
             # activation to ±127 and silently emit garbage — serve the
             # float conv instead (ADVICE r1)
+            if banded_ok:
+                return banded_dilated_conv(xf, kern, self.dilation,
+                                           self.dtype)
             return jax.lax.conv_general_dilated(
                 xf.astype(self.dtype), kern.astype(self.dtype),
                 window_strides=(self.stride, self.stride),
@@ -476,6 +631,15 @@ def conv(
         return Int8Conv(
             features=features, kernel=kernel, stride=stride,
             dilation=dilation, padding=padding, use_bias=use_bias,
+            dtype=dtype, name=name,
+            kernel_init=kernel_init or nn.initializers.lecun_normal(),
+        )
+
+    if groups == 1 and kernel == 3 and dilation > 1 and padding == dilation:
+        # shape-preserving dilated 3x3 (ASPP branches, dilated extractors):
+        # skip the all-padding taps where profitable (cost model inside)
+        return DilatedConvBanded(
+            features=features, dilation=dilation, use_bias=use_bias,
             dtype=dtype, name=name,
             kernel_init=kernel_init or nn.initializers.lecun_normal(),
         )
