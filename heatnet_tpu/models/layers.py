@@ -315,17 +315,21 @@ def banded_dilated_conv(x, kern, dilation: int, dtype,
     decomposes: the side bands vanish and only the center row is
     computed at all.
 
-    Numerics: partial convs accumulate/sum in f32 and round to
-    ``dtype`` once, like the fused conv; summation order differs at
-    f32 rounding level (the forward-parity suite's tolerance covers
-    it). int8 inputs accumulate/sum in int32 — exact, so the int8
+    Numerics: each partial conv rounds to ``dtype`` (keeping operands
+    and output the same dtype so the conv transpose rule applies under
+    autodiff), the band sum runs in f32 and rounds once; deviation from
+    the monolithic conv is at ``dtype`` rounding level (the forward-
+    parity suite's tolerance covers it). int8 inputs accumulate/sum in
+    int32 — exact, so the int8
     serving path is bit-identical banded or not (the esize halving and
     the int8 MXU-rate doubling cancel in ``ratio``, so the same
     geometries split). ``mode``: "auto" (cost model) | "off" |
     "force" (tests).
     """
     integer = jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer)
-    accum = jnp.int32 if integer else jnp.float32
+    # band sums accumulate at >= f32; NEVER downcast (the f64 training-
+    # dynamics parity proofs rely on f64 staying f64 end to end)
+    accum = jnp.int32 if integer else jnp.promote_types(jnp.float32, dtype)
     bw, peak = 819e9, 197e12  # v5e HBM B/s, bf16 FLOP/s
     esize = jnp.dtype(dtype).itemsize
     margin = 1.3
@@ -344,7 +348,10 @@ def banded_dilated_conv(x, kern, dilation: int, dtype,
     r = dilation
     cout = kern.shape[-1]
 
-    def conv_part(x, k, pad_h, pad_w, out_dtype):
+    def conv_part(x, k, pad_h, pad_w):
+        # partials stay in the compute dtype (a f32 preferred_element_type
+        # on bf16 operands breaks the conv transpose rule under autodiff
+        # — mixed-dtype transposed conv); the int path accumulates int32
         if not integer:
             x, k = x.astype(dtype), k.astype(dtype)
         return jax.lax.conv_general_dilated(
@@ -353,9 +360,11 @@ def banded_dilated_conv(x, kern, dilation: int, dtype,
             padding=((pad_h, pad_h), (pad_w, pad_w)),
             rhs_dilation=(r, r),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=out_dtype)
+            preferred_element_type=jnp.int32 if integer else None)
 
     def rec(x, k):
+        # always returns the accumulation dtype (f32 / int32); partial
+        # conv outputs are upcast at the leaves so band sums don't round
         kh, kw = k.shape[0], k.shape[1]
         h, w = x.shape[1], x.shape[2]
         k_elems = kh * kw
@@ -377,15 +386,15 @@ def banded_dilated_conv(x, kern, dilation: int, dtype,
                        + jnp.pad(lft, ((0, 0), (0, 0), (r, 0), (0, 0)))
                        + jnp.pad(rgt, ((0, 0), (0, 0), (0, r), (0, 0))))
             return out
-        return conv_part(x, k, r if kh == 3 else 0, r if kw == 3 else 0,
-                         accum)
+        return conv_part(x, k, r if kh == 3 else 0,
+                         r if kw == 3 else 0).astype(accum)
 
     kh, kw = kern.shape[0], kern.shape[1]
     h, w = x.shape[1], x.shape[2]
     if not (should_split(r, h, kh * kw, cout)
             or should_split(r, w, kh * kw, cout)):
-        # no decomposition: exactly the plain dilated conv (no f32 detour)
-        return conv_part(x, kern, r, r, accum if integer else dtype)
+        # no decomposition: exactly the plain dilated conv
+        return conv_part(x, kern, r, r)
     out = rec(x, kern)
     return out if integer else out.astype(dtype)
 

@@ -106,3 +106,22 @@ def test_banded_is_differentiable():
     g2 = jax.grad(lambda k: _ref(x, k, 9).sum())(kern)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_banded_is_differentiable_bf16():
+    # bf16 training regression: the partial convs must keep operands and
+    # output in one dtype or the conv transpose rule fails with a mixed-
+    # dtype error (caught live by tools/bench_train_step.py)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 40, 88, 8), jnp.bfloat16)
+    kern = jnp.asarray(rng.randn(3, 3, 8, 4), jnp.float32)
+
+    def loss(k):
+        out = banded_dilated_conv(x, k.astype(jnp.bfloat16), 36,
+                                  jnp.bfloat16, mode="auto")
+        return out.astype(jnp.float32).sum()
+
+    g1 = jax.grad(loss)(kern)
+    g2 = jax.grad(lambda k: _ref(x.astype(jnp.float32), k, 36).sum())(kern)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=0.05, atol=0.3)

@@ -13,15 +13,24 @@ very spilling the per-stage remat removes (measured: vistas batch-30 is
 166 ms/step in a fresh process vs ~1.4 s/step after the adversarial
 sections ran in the same process).
 
-Measured v5e numbers (2026-08-16, remat=True + work-volume grouped-conv
-dispatch, per-config subprocess):
-  adv  B=4  seg 11.1 ms / critic 16.1 ms      (249-360 fps)
-  adv  B=16 seg 74.2 ms / critic 64.8 ms      (critic was 1015 ms pre-remat)
-  vistas B=8  24.9 ms  (vs 85 at round start)
-  vistas B=30 88.0 ms  (vs 1466 at round start — 16.7x: remat 8.4x, then
-  grouped-conv dispatch 2x — dense block-diagonal kernels pay the 64x
-  structural-zero tax in BOTH gradient convs, so training favors native
-  grouped far more than the forward-only microbench suggested)
+MEASUREMENT METHOD (round-2 correction): timing is scan-differenced —
+N steps inside one jitted ``lax.scan`` with the batch perturbed per
+iteration, two scan lengths differenced so dispatch constants cancel.
+The round-1 numbers in this docstring's history (seg 11 ms @B4 etc.)
+were measured with per-call ``block_until_ready``, which on the axon
+relay can return before the device finishes: the device trace of the
+"88.7 ms" B=16 seg step shows 743 ms of device time. Honest numbers
+are ~10x the round-1 ones; the relative claims from round 1 (remat
+8.4x on vistas B=30, work-volume grouped dispatch 2x) were measured
+with the same biased method on both sides and remain directionally
+right, but only the scan-differenced numbers below are load-bearing.
+
+Measured v5e (2026-08-19, scan-differenced, remat=True, banded dilated
+convs, per-config subprocess):
+  adv  B=4   seg 221.4 ms / critic  51.3 ms
+  adv  B=16  seg 722.2 ms / critic 201.6 ms  (match their device traces:
+             743 / 206 ms — tools/profile_infer.py-style xplane parse)
+  vistas B=8  208.2 ms   B=30  823.3 ms
 
 Run: `python tools/bench_train_step.py [adv_batches ...]`.
 """
@@ -46,14 +55,42 @@ def _run_one(kind: str, batch: int) -> None:
     enable_compilation_cache()
     B = batch
 
-    def timeit(fn, iters=10):
-        out = fn()
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters * 1e3
+    def scan_timeit(step_into_state, state0, probe, n_small=1, n_large=5):
+        """ms/step via scan-differencing (the ONLY reliable timing on the
+        axon relay: per-call `block_until_ready` can return before the
+        device finishes, and identical repeated dispatches pipeline —
+        measured live: the round-1 timeit reported 88.7 ms for a seg step
+        whose device trace shows 743 ms).
+
+        ``step_into_state(state, i)`` folds one step into the carried
+        state and MUST thread ``i`` into its inputs (e.g. add ``i*1e-9``
+        to a float batch leaf): with a loop-invariant batch XLA hoists
+        every computation that doesn't depend on the updated subtrees out
+        of the scan — measured live: the critic step scans at 12.8
+        ms/step with a constant batch (frozen-segnet forward hoisted) vs
+        its true 206 ms device time. ``probe(state)`` returns leaves of
+        every subtree the step updates (so DCE cannot drop the scan)."""
+
+        def timed(n):
+            @jax.jit
+            def run(state):
+                st, _ = jax.lax.scan(
+                    lambda st, i: (step_into_state(st, i), None),
+                    state, jnp.arange(n, dtype=jnp.float32))
+                return probe(st)
+
+            out = run(state0)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(state0))
+            return time.perf_counter() - t0
+
+        return (timed(n_large) - timed(n_small)) / (n_large - n_small) * 1e3
+
+    def perturb(batch, i):
+        # per-iteration input dependence (invisible at bf16 precision)
+        return {k: v + i * 1e-9 if jnp.issubdtype(v.dtype, jnp.floating)
+                else v for k, v in batch.items()}
 
     if kind == "adv":
         from heatnet_tpu.models import ConfSegnet
@@ -85,8 +122,18 @@ def _run_one(kind: str, batch: int) -> None:
                                 irscale=True)
         seg_step, critic_step = make_adversarial_steps(model, cfg, None, None)
         k = jax.random.PRNGKey(0)
-        seg_ms = timeit(lambda: seg_step(state, batch_d, k)[0].params)
-        cr_ms = timeit(lambda: critic_step(state, batch_d)[0].params)
+        batch_d = {kk: jnp.asarray(v) for kk, v in batch_d.items()}
+
+        def probe(st):
+            return (st.params["trgb_segnet"]["mod1"]["conv1"]["kernel"],
+                    st.params["critics_0"]["conv1"]["kernel"])
+
+        seg_ms = scan_timeit(
+            lambda st, i: seg_step(st, perturb(batch_d, i), k)[0],
+            state, probe)
+        cr_ms = scan_timeit(
+            lambda st, i: critic_step(st, perturb(batch_d, i))[0],
+            state, probe)
         print(json.dumps({
             "seg_step_ms": round(seg_ms, 1), "critic_step_ms": round(cr_ms, 1),
             "seg_fps": round(B / seg_ms * 1e3, 1),
@@ -107,9 +154,12 @@ def _run_one(kind: str, batch: int) -> None:
         st = TrainState.create(model.apply, params, bs, optax.adam(1e-5))
         step = make_train_step(model)
         rng = np.random.RandomState(0)
-        vb = {"image": rng.rand(B, 384, 768, 3).astype(np.float32),
-              "label": rng.randint(0, 14, (B, 384, 768)).astype(np.int32)}
-        ms = timeit(lambda: step(st, vb)[0].params)
+        vb = {"image": jnp.asarray(rng.rand(B, 384, 768, 3), jnp.float32),
+              "label": jnp.asarray(rng.randint(0, 14, (B, 384, 768)),
+                                   jnp.int32)}
+        ms = scan_timeit(
+            lambda s, i: step(s, perturb(vb, i))[0], st,
+            lambda s: s.params["mod1"]["conv1"]["kernel"])
         print(json.dumps({"step_ms": round(ms, 1),
                           "fps": round(B / ms * 1e3, 1)}))
 
