@@ -57,6 +57,81 @@ class NormAct:
         raise ValueError(f"unknown activation {self.activation}")
 
 
+class StatNamedBatchNorm(nn.BatchNorm):
+    """``nn.BatchNorm`` whose train-mode batch stats carry a checkpoint name.
+
+    Under per-stage rematerialization the backward re-forward reruns every
+    BN's mean/var reduce — a full HBM re-read of each conv output (the
+    B=16 adversarial seg-step device trace attributes 172 ms to BN
+    batch-stat reduces, tools/bench_train_step.py). Naming the per-channel
+    stats ``"bn_stats"`` lets the stage remat run with
+    ``jax.checkpoint_policies.save_only_these_names("bn_stats")``: the
+    reduces run once and their (tiny, 2xC float32) results are saved,
+    while the cheap fusible normalize/activation elementwise work still
+    rematerializes. Identical math, params, and batch_stats layout to
+    ``nn.BatchNorm`` — the body is flax 0.12.3's, plus the two
+    ``checkpoint_name`` calls.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None, *,
+                 mask=None):
+        from flax.linen.normalization import (_canonicalize_axes,
+                                              _compute_stats, _normalize)
+        from jax.ad_checkpoint import checkpoint_name
+
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = _canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim)
+                               if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stats_dtype = (jnp.float32 if self.force_float32_reductions
+                       else self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, stats_dtype),
+                                feature_shape)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, stats_dtype),
+                               feature_shape)
+
+        if use_running_average:
+            mean = (ra_mean.value if self.force_float32_reductions
+                    else jnp.asarray(ra_mean.value, self.param_dtype))
+            var = (ra_var.value if self.force_float32_reductions
+                   else jnp.asarray(ra_var.value, self.param_dtype))
+        else:
+            mean, var = _compute_stats(
+                x, reduction_axes, dtype=self.dtype,
+                axis_name=(self.axis_name if not self.is_initializing()
+                           else None),
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance, mask=mask,
+                force_float32_reductions=self.force_float32_reductions)
+            mean = checkpoint_name(mean, "bn_stats")
+            var = checkpoint_name(var, "bn_stats")
+
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+
+        return _normalize(
+            self, x, mean, var, reduction_axes, feature_axes, self.dtype,
+            self.param_dtype, self.epsilon, self.use_bias, self.use_scale,
+            self.bias_init, self.scale_init, self.force_float32_reductions)
+
+
+#: Remat policy for stage checkpointing: save only the named BN batch
+#: stats so the backward re-forward skips every stat reduce (see
+#: StatNamedBatchNorm). Memory cost: 2 float32 vectors per BN.
+BN_STATS_SAVE_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "bn_stats")
+
+
 class ABN(nn.Module):
     """Activated Batch Normalization: BN then activation (segnet.py:20-41)."""
 
@@ -66,7 +141,7 @@ class ABN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  skip_act: bool = False) -> jax.Array:
-        x = nn.BatchNorm(
+        x = StatNamedBatchNorm(
             use_running_average=not train,
             momentum=self.norm_act.bn_momentum,
             epsilon=self.norm_act.bn_epsilon,
@@ -130,13 +205,27 @@ class GroupedConvDense(nn.Module):
     min_work_native: int = 400_000  # N*H*W*cpg crossover (see table)
 
     @nn.compact
-    def __call__(self, x: jax.Array, epilogue=None) -> jax.Array:
+    def __call__(self, x: jax.Array, epilogue=None,
+                 train: bool = False) -> jax.Array:
         """``epilogue=(scale, bias, norm_act)`` fuses the following
         inference-mode BN affine + activation into this conv (set by
         IdentityResidualBlock under ``HEATNET_GC_IMPL=pallas_fused``):
         the pallas_fused path applies it inside the kernel's output
         write; every other path applies it as a manual per-channel
-        affine right after the conv (numerically the same BN)."""
+        affine right after the conv (numerically the same BN).
+
+        ``train=True`` switches to the training dispatch rule: native
+        grouped only at ``cpg >= 16`` (mod5). The inference table above
+        does not transfer to training — the two gradient convs inherit
+        the forward's formulation, and XLA gives the native-grouped
+        forms batch-minor layouts whose transposes and following BN
+        stat reduces dominate the step (B=16 adversarial seg-step trace:
+        conv fusions 272 ms, BN stat reduces 172 ms, layout copies
+        168 ms). Measured scan-differenced on v5e (B=16 seg step,
+        tools/bench_train_step.py): auto-everywhere 722 ms, all-dense
+        614 ms, dense-except-mod5 (this rule) — see table in README.
+        Same grouped parameter layout either way; numerics unchanged
+        beyond bf16 accumulation order."""
         import os
 
         g = self.groups
@@ -194,11 +283,20 @@ class GroupedConvDense(nn.Module):
             # (batch >= 8, the smallest measured point in the table)
             work = 8 * h * w * cin_pg
         # any unrecognized impl (incl. pallas_fused at the layers it does
-        # not cover) dispatches like auto
+        # not cover) dispatches like auto. The thresholds are trace-time
+        # env-overridable (HEATNET_GC_MIN_CPG / HEATNET_GC_MIN_WORK) so
+        # dispatch-rule sweeps don't need code edits.
+        min_cpg = int(os.environ.get("HEATNET_GC_MIN_CPG",
+                                     self.min_cpg_native))
+        min_work = float(os.environ.get("HEATNET_GC_MIN_WORK",
+                                        self.min_work_native))
+        if train:
+            # training rule (see docstring): dense except cpg >= 16
+            min_cpg = int(os.environ.get("HEATNET_GC_TRAIN_MIN_CPG", 16))
         use_native = (impl == "native"
                       or (impl not in ("dense",)
-                          and cin_pg >= self.min_cpg_native
-                          and work >= self.min_work_native))
+                          and cin_pg >= min_cpg
+                          and work >= min_work))
         if quant:
             # The quant scale variable must exist whenever int8 serving is
             # on — dispatch below is batch-dependent, and a model
@@ -868,7 +966,8 @@ class IdentityResidualBlock(nn.Module):
                 bias_v, scale_v = tb[0, 0, 0], tb[1, 0, 0] - tb[0, 0, 0]
                 out = conv2(out, epilogue=(scale_v, bias_v, self.norm_act))
             else:
-                out = conv2(out)
+                out = (conv2(out, train=train)
+                       if isinstance(conv2, GroupedConvDense) else conv2(out))
                 out = bn3(out, train)
             out = conv(chans[2], 1, name="conv3", dtype=self.dtype)(out)
 

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ABN, ASPP, NormAct, conv, deconv
+from .layers import (ABN, ASPP, BN_STATS_SAVE_POLICY, NormAct, conv,
+                     deconv)
 from .trgb_segnet import Stem7x7, _Stage
 from .layers import InitBlock
 
@@ -64,7 +65,10 @@ class ResNeXtEncoder(nn.Module):
         for _ in range(3):
             ch.append([c * 2 for c in ch[-1]])
 
-        stage_cls = (nn.remat(_Stage, static_argnums=(2,)) if self.remat
+        # policy: save the named BN batch stats so the backward re-forward
+        # skips the stat reduces (layers.py StatNamedBatchNorm)
+        stage_cls = (nn.remat(_Stage, static_argnums=(2,),
+                              policy=BN_STATS_SAVE_POLICY) if self.remat
                      else _Stage)
         out_4 = stage_cls(self.structure[0], ch[0], 0, self.groups, self.dilation,
                           norm_act, dtype, name="mod2_1")(x, train)

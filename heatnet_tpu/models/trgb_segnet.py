@@ -29,6 +29,7 @@ from flax import linen as nn
 from .layers import (
     ABN,
     ASPP,
+    BN_STATS_SAVE_POLICY,
     FuseModule,
     InitBlock,
     IdentityResidualBlock,
@@ -119,8 +120,13 @@ class ResNeXtSeg(nn.Module):
         # from spilling vs 85 ms at batch 8 pre-remat); checkpointing each
         # stage keeps only stage boundaries live and recomputes one stage
         # at a time in the backward pass.
-        # static_argnums counts (self, x, train) in flax's remat wrapping
-        stage_cls = (nn.remat(_Stage, static_argnums=(2,)) if self.remat
+        # static_argnums counts (self, x, train) in flax's remat wrapping.
+        # The policy saves each BN's named per-channel batch stats so the
+        # backward re-forward skips every stat reduce (layers.py
+        # StatNamedBatchNorm) — reduces are full HBM re-reads of the conv
+        # outputs and cost 172 ms of the B=16 adversarial seg step.
+        stage_cls = (nn.remat(_Stage, static_argnums=(2,),
+                              policy=BN_STATS_SAVE_POLICY) if self.remat
                      else _Stage)
 
         def stage(name: str, mod_id: int, channels) -> _Stage:

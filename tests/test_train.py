@@ -254,3 +254,51 @@ def test_supervised_training_converges():
     last = float(metrics["loss"])
     assert np.isfinite(last)
     assert last < first * 0.8, (first, last)
+
+
+def test_stat_named_bn_identical_and_remat_policy_grads():
+    """StatNamedBatchNorm must be bit-identical to nn.BatchNorm (same
+    params/batch_stats layout — checkpoint compatibility), and the
+    BN-stats-saving remat policy must not change training gradients
+    (it only skips recomputing the stat reduces in the re-forward)."""
+    from flax import linen as nn
+
+    from heatnet_tpu.models.layers import StatNamedBatchNorm
+
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 8, 8, 16), jnp.float32)
+    kw = dict(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    ref, new = nn.BatchNorm(**kw), StatNamedBatchNorm(**kw)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+    y_ref, mut_ref = ref.apply(variables, x, mutable=["batch_stats"])
+    y_new, mut_new = new.apply(variables, x, mutable=["batch_stats"])
+    assert jnp.array_equal(y_ref, y_new)
+    for k in ("mean", "var"):
+        assert jnp.array_equal(mut_ref["batch_stats"][k],
+                               mut_new["batch_stats"][k])
+
+    img = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3),
+                      jnp.float32)
+    lab = jnp.asarray(
+        (np.random.RandomState(2).rand(2, 64, 64) * 4.9).astype(np.int32))
+    grads, losses = {}, {}
+    for remat in (False, True):
+        model = ResNeXtSeg(structure=TINY, input_channels=3, classes=5,
+                           remat=remat)
+        params, bs = init_model(model, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3)), None,
+                                init_kwargs={"train": True})
+
+        def loss_fn(p):
+            (seg, _, _), mut = model.apply(
+                {"params": p, "batch_stats": bs}, img, None, train=True,
+                mutable=["batch_stats"])
+            return optax.softmax_cross_entropy_with_integer_labels(
+                seg.astype(jnp.float32), lab).mean(), mut
+
+        (losses[remat], _), grads[remat] = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True))(params)
+    assert abs(float(losses[False] - losses[True])) < 1e-6
+    deltas = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(grads[False]),
+        jax.tree_util.tree_leaves(grads[True]))]
+    assert max(deltas) < 1e-4, max(deltas)

@@ -79,10 +79,18 @@ def _run_one(kind: str, batch: int) -> None:
                     state, jnp.arange(n, dtype=jnp.float32))
                 return probe(st)
 
-            out = run(state0)
-            jax.block_until_ready(out)
+            def fetch(out):
+                # force a device->host copy of every probe leaf:
+                # block_until_ready on the axon relay can return before
+                # the device finishes (measured: a 614 ms-seg-step config
+                # timed its critic step at -0.7 ms), but a value fetch
+                # cannot complete before the producing executable does.
+                for leaf in jax.tree_util.tree_leaves(out):
+                    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+            fetch(run(state0))
             t0 = time.perf_counter()
-            jax.block_until_ready(run(state0))
+            fetch(run(state0))
             return time.perf_counter() - t0
 
         return (timed(n_large) - timed(n_small)) / (n_large - n_small) * 1e3
