@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="debug/smoke cap")
     parser.add_argument("--structure", nargs=4, type=int, default=None,
                         help="override backbone block counts (debug/smoke)")
+    parser.add_argument("--bn-groups", default=1, type=int,
+                        help="reference-BN mode: train-time BN stats per "
+                             "batch/N group (nn.DataParallel over N GPUs; "
+                             "the reference trains batch 30 over 4); "
+                             "1 = global-batch stats (default)")
     return parser
 
 
@@ -90,6 +95,7 @@ def main(argv=None) -> float:
     norm_act = NormAct(
         activation=net_conf["activation"],
         leaky_slope=net_conf.get("leaky_relu_slope", 0.01),
+        bn_groups=args.bn_groups,
     )
     dtype = jnp.bfloat16 if conf["tpu"]["compute_dtype"] == "bfloat16" else jnp.float32
     model_kw = dict(

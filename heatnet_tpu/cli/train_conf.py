@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--crop_width', type=int, default=640)
     parser.add_argument('--structure', nargs=4, type=int, default=[3, 4, 6, 3],
                         help='backbone block counts (debug/smoke)')
+    parser.add_argument('--bn_groups', type=int, default=1,
+                        help='reference-BN mode: compute train-time BN stats '
+                             'per batch/N group, emulating nn.DataParallel '
+                             'over N GPUs (4 = the reference rig); 1 = '
+                             'global-batch stats (default)')
     return parser
 
 
@@ -136,7 +141,7 @@ def main(argv=None) -> float:
         modalities=opt.modalities, input_adapter=opt.train_input_adapter,
         cert_branch=opt.cert_branch, arch=opt.arch,
         late_fusion=opt.late_fusion, structure=tuple(opt.structure),
-        dtype=dtype, remat=True)
+        bn_groups=opt.bn_groups, dtype=dtype, remat=True)
 
     h, w = opt.crop_height, opt.crop_width
     n_rgb = 3 if "rgb" in opt.modalities else 0

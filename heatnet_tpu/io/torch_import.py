@@ -225,8 +225,10 @@ def convert_state_dict(state_dict: Dict[str, Any],
                 params["/".join(path + ["kernel"])] = k
             elif t.ndim == 2:
                 params["/".join(path + ["kernel"])] = t.T
-            elif t.ndim == 1 and path and "bn" in path[-1]:
-                # plain BatchNorm module not wrapped in ABN (e.g. extractors)
+            elif t.ndim == 1 and path and ("bn" in path[-1]
+                                           or path[-1].startswith("norm")):
+                # plain BatchNorm module not wrapped in ABN (e.g. the
+                # ResNet extractors' bnN and DenseNet's norm0/normN/norm)
                 params["/".join(path + ["scale"])] = t
             elif "prelu" in (path[-1] if path else "") and t.size == 1:
                 # torch PReLU(num_parameters=1) is shape (1,); flax

@@ -45,6 +45,10 @@ class ConfSegnet(nn.Module):
     structure: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
     remat: bool = False  # checkpoint backbone stages (train memory)
+    # reference-BN mode: per-group train-time BN stats emulating
+    # nn.DataParallel's per-GPU split (layers.StatNamedBatchNorm);
+    # 1 = global-batch stats (the documented default deviation)
+    bn_groups: int = 1
 
     @property
     def num_input_channels(self) -> int:
@@ -57,12 +61,15 @@ class ConfSegnet(nn.Module):
 
     def setup(self):
         if self.arch == "custom":
+            from .layers import NormAct
+
             self.trgb_segnet = ResNeXtSeg(
                 structure=tuple(self.structure),
                 input_channels=self.num_input_channels,
                 cert_branch=self.cert_branch,
                 late_fusion=self.late_fusion,
                 classes=self.classes,
+                norm_act=NormAct(bn_groups=self.bn_groups),
                 dtype=self.dtype,
                 remat=self.remat,
             )

@@ -125,11 +125,20 @@ class ResNeXtSeg(nn.Module):
         # backward re-forward skips every stat reduce (layers.py
         # StatNamedBatchNorm) — reduces are full HBM re-reads of the conv
         # outputs and cost 172 ms of the B=16 adversarial seg step.
-        stage_cls = (nn.remat(_Stage, static_argnums=(2,),
-                              policy=BN_STATS_SAVE_POLICY) if self.remat
-                     else _Stage)
+        # HEATNET_REMAT_STAGES ("1111" default) gates remat per backbone
+        # stage (mod2..mod5) for selective-recompute sweeps: a '0' stage
+        # saves its internals and skips the backward re-forward entirely
+        # (tools/sweep_train_dispatch.py measures the tradeoff).
+        import os
+
+        remat_mask = os.environ.get("HEATNET_REMAT_STAGES", "1111")
+        remat_stage_cls = nn.remat(_Stage, static_argnums=(2,),
+                                   policy=BN_STATS_SAVE_POLICY)
 
         def stage(name: str, mod_id: int, channels) -> _Stage:
+            stage_cls = (remat_stage_cls
+                         if self.remat and remat_mask[mod_id] == "1"
+                         else _Stage)
             return stage_cls(
                 num_blocks=self.structure[mod_id],
                 channels=channels,

@@ -329,6 +329,107 @@ def test_squeezenet_extractor_forward_parity():
 
 
 @pytest.mark.slow
+def test_densenet_extractor_forward_parity():
+    """DenseNet extractor vs the actual torch definition
+    (extractors.py:203-300) — upgrades the last shape-only parity row
+    (VERDICT r2 item 9).
+
+    The reference class can't instantiate under the installed stack for
+    TWO reasons: it calls ``densenet121(pretrained=True)`` unconditionally
+    at construction (:266-270), and its ``_DenseLayer`` uses the
+    old-torchvision dotted module names ``norm.1``/``conv.2`` (:209-216)
+    that torch 2.x's ``add_module`` rejects outright. So: stub
+    torchvision's densenet121 with a net assembled from the reference's
+    OWN _DenseBlock/_Transition classes (the RTFNet pattern), and swap
+    ``_DenseLayer`` for a line-identical twin whose module names drop the
+    dots (a pure state_dict-naming detail — order and math unchanged).
+    Compared: the 2-tuple the reference returns — ``out`` (denseblock4)
+    and ``deep_features`` (transition3) — against our taps[0]/taps[1]."""
+    from collections import OrderedDict
+
+    import jax
+    import jax.numpy as jnp
+
+    from heatnet_tpu.models.extractors import DenseNetExtractor
+    from heatnet_tpu.train.state import init_model
+
+    _ref_pspnet()  # registers the "models" package + torchvision stub
+    ext = importlib.import_module("models.extractors")
+
+    class _DenseLayerDotFree(torch.nn.Sequential):
+        """extractors.py:205-223 with dot-free names (torch 2.x rejects
+        'norm.1'); same module order, same forward."""
+
+        def __init__(self, num_input_features, growth_rate, bn_size,
+                     drop_rate):
+            super().__init__()
+            self.add_module("norm1",
+                            torch.nn.BatchNorm2d(num_input_features))
+            self.add_module("relu1", torch.nn.ReLU(inplace=True))
+            self.add_module("conv1", torch.nn.Conv2d(
+                num_input_features, bn_size * growth_rate, kernel_size=1,
+                stride=1, bias=False))
+            self.add_module("norm2",
+                            torch.nn.BatchNorm2d(bn_size * growth_rate))
+            self.add_module("relu2", torch.nn.ReLU(inplace=True))
+            self.add_module("conv2", torch.nn.Conv2d(
+                bn_size * growth_rate, growth_rate, kernel_size=3,
+                stride=1, padding=1, bias=False))
+            self.drop_rate = drop_rate
+
+        def forward(self, x):
+            new_features = super().forward(x)
+            if self.drop_rate > 0:
+                new_features = torch.nn.functional.dropout(
+                    new_features, p=self.drop_rate, training=self.training)
+            return torch.cat([x, new_features], 1)
+
+    def fake_densenet121(pretrained=True):
+        torch.manual_seed(3)
+        holder = torch.nn.Module()
+        holder.features = torch.nn.Sequential(OrderedDict([
+            ("conv0", torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)),
+            ("norm0", torch.nn.BatchNorm2d(64)),
+            ("relu0", torch.nn.ReLU(inplace=True)),
+            ("pool0", torch.nn.MaxPool2d(3, 2, 1)),
+            ("denseblock1", ext._DenseBlock(6, 64, 4, 32, 0)),
+            ("transition1", ext._Transition(256, 128)),
+            ("denseblock2", ext._DenseBlock(12, 128, 4, 32, 0)),
+            ("transition2", ext._Transition(512, 256)),
+            ("denseblock3", ext._DenseBlock(24, 256, 4, 32, 0)),
+            ("transition3", ext._Transition(1024, 512)),
+            ("denseblock4", ext._DenseBlock(16, 512, 4, 32, 0)),
+        ]))
+        return holder
+
+    orig, orig_layer = ext.densenet121, ext._DenseLayer
+    ext.densenet121, ext._DenseLayer = fake_densenet121, _DenseLayerDotFree
+    try:
+        torch.manual_seed(0)
+        model_t = ext.DenseNet(pretrained=True).eval()
+    finally:
+        ext.densenet121, ext._DenseLayer = orig, orig_layer
+    _randomize_bn_stats(model_t)
+
+    model_j = DenseNetExtractor(dtype=jnp.float32)
+    img = np.random.RandomState(11).rand(1, 64, 128, 3).astype(np.float32)
+    params, batch_stats = init_model(model_j, jax.random.PRNGKey(0),
+                                     jnp.asarray(img),
+                                     init_kwargs={"train": True})
+    params, batch_stats = _convert_full(model_t, params, batch_stats)
+
+    with torch.no_grad():
+        out_t, deep_t = model_t(_nchw(img))
+
+    taps = model_j.apply({"params": params, "batch_stats": batch_stats},
+                         jnp.asarray(img), train=False)
+    np.testing.assert_allclose(np.asarray(taps[0]), _to_nhwc(out_t),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(taps[1]), _to_nhwc(deep_t),
+                               rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_trgb_segnet_resnext50_full_depth_parity():
     """Full ResNeXt-50 stack at a small eval shape (the flagship config)."""
     import jax.numpy as jnp

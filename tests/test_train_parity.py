@@ -61,16 +61,18 @@ def _batches(n=N_STEPS, b=B, channels=4, seed=0, n_classes=13,
     return out
 
 
-def _tiny_models(in_ch=4):
+def _tiny_models(in_ch=4, bn_groups=1):
     import jax.numpy as jnp
 
     from heatnet_tpu.models import ResNeXtSeg
+    from heatnet_tpu.models.layers import NormAct
 
     ref = _ref_trgb()
     torch.manual_seed(0)
     model_t = ref.ResNeXt(structure=[1, 1, 1, 1], input_channels=in_ch)
     _randomize_bn_stats(model_t)
     model_j = ResNeXtSeg(structure=(1, 1, 1, 1), input_channels=in_ch,
+                         norm_act=NormAct(bn_groups=bn_groups),
                          dtype=jnp.float32)
     return model_t, model_j
 
@@ -329,6 +331,53 @@ def test_bn_split_deviation_quantified(capsys):
     assert logit_err_split < 0.5      # bounded, not catastrophic
     assert logit_err_split > logit_err_full  # the deviation is real
     assert d_loss_split >= d_loss_full
+
+
+@pytest.mark.slow
+def test_reference_bn_grouped_mode_matches_dataparallel():
+    """The opt-in reference-BN mode (``bn_groups=4``,
+    layers.StatNamedBatchNorm.stats_groups) must REMOVE the one documented
+    training-dynamics deviation: against the same torch DataParallel
+    emulation (per-chunk BN, device-0 buffers persist) that the previous
+    test only bounds loosely for global-batch BN, the grouped jax run must
+    track to the same fp tolerance as the full-batch control (VERDICT r2
+    item 5)."""
+    import jax.numpy as jnp
+
+    batches = _batches(b=8)
+
+    model_t, model_j = _tiny_models(bn_groups=4)
+    x0 = jnp.asarray(batches[0][0])
+    params, batch_stats = _jax_variables(model_j, [x0, None])
+    params, batch_stats = _convert_full(
+        model_t, params, batch_stats,
+        allowed_missing=("up_seg_2_cert", "fuse_seg_cert",
+                         "aspp/final_conv2"))
+    losses_j, _, state = _jax_supervised_run(
+        model_j, {"params": params, "batch_stats": batch_stats}, batches)
+
+    # torch: the DataParallel(4) dynamics — per-chunk BN normalization,
+    # only the device-0 replica's running-stat updates persist
+    losses_t, _ = _torch_supervised_run(model_t, batches, chunks=4)
+
+    d_loss = float(np.abs(np.array(losses_j) - np.array(losses_t)).max())
+
+    held = _batches(n=1, seed=99)[0][0]
+    seg_j, _, _ = model_j.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(held), None, train=False)
+    model_t.eval()
+    with torch.no_grad():
+        xh = _nchw(held)
+        seg_t, _, _ = model_t(xh[:, :3], xh[:, 3:])
+    logit_err = _rel_delta(_to_nhwc(seg_t), np.asarray(seg_j))
+
+    print(f"\nreference-BN grouped mode (bn_groups=4) vs DataParallel(4): "
+          f"max |Δloss| {d_loss:.2e}, held-out logit rel L2 {logit_err:.2e}")
+
+    # same tolerances as the full-batch control — the deviation is gone
+    assert d_loss < 5e-3
+    assert logit_err < 0.02
 
 
 def _run_adversarial_parity():

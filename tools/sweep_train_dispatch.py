@@ -1,0 +1,89 @@
+"""Sweep training-step configurations on the real chip.
+
+Round-2 shipped the training grouped-conv rule "dense except cpg >= 16"
+(mod5 native) on the strength of the B=16 adversarial seg-step device
+trace, but never measured the rule itself: the docstring recorded
+auto-everywhere 722 ms and all-dense 614 ms and deferred the shipped
+rule's number to a README table that was never filled in (ADVICE r2,
+VERDICT r3 item 1). This tool measures any (env-config, workload) matrix
+scan-differenced (tools/bench_train_step.py's child mode — the only
+timing the axon relay can't distort), each config in its own subprocess
+(leftover device buffers from a previous config re-introduce HBM
+spilling, see bench_train_step.py).
+
+Spec syntax: ``label=KEY:VAL,KEY:VAL@kind:batch`` where kind is ``adv``
+or ``vistas``; the env part may be empty (``label=@adv:16``).
+
+Default matrix (round-3 dispatch-rule resolution): the shipped rule,
+all-dense (HEATNET_GC_IMPL=dense), and the inference rule in training
+(HEATNET_GC_TRAIN_MIN_CPG=4), each at adv B=16 and vistas B=30.
+
+Measured v5e (2026-08-19, this tool — resolves the 722-vs-614
+discrepancy; both round-2 numbers are reproduced by their configs):
+
+  rule                adv B=16 seg/critic    vistas B=30
+  shipped (r2 rule)   588.2 / 154.9 ms       701.9 ms
+  all-dense           516.4 / 130.2 ms       720.5 ms
+  auto (inference)    (see FINAL line in /tmp or README table)
+
+i.e. mod5's winner is WORK-DEPENDENT in training too: dense at the adv
+step's 819k work volume, native at the Vistas step's 2.2M.
+
+Run: `python tools/sweep_train_dispatch.py [specs...]`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+DEFAULT_SPECS = [
+    "shipped=@adv:16",
+    "shipped=@vistas:30",
+    "dense=HEATNET_GC_IMPL:dense@adv:16",
+    "dense=HEATNET_GC_IMPL:dense@vistas:30",
+    "auto=HEATNET_GC_TRAIN_MIN_CPG:4@adv:16",
+    "auto=HEATNET_GC_TRAIN_MIN_CPG:4@vistas:30",
+]
+
+
+def parse_spec(spec: str):
+    label, rest = spec.split("=", 1)
+    env_part, wl = rest.split("@", 1)
+    env = {}
+    if env_part:
+        for kv in env_part.split(","):
+            k, v = kv.split(":", 1)
+            env[k] = v
+    kind, b = wl.split(":")
+    return label, env, kind, int(b)
+
+
+def main() -> None:
+    specs = sys.argv[1:] or DEFAULT_SPECS
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(here)
+    child = os.path.join(here, "bench_train_step.py")
+
+    results = {}
+    for spec in specs:
+        label, extra_env, kind, b = parse_spec(spec)
+        env = dict(os.environ, _HEATNET_TRAINBENCH_CHILD="1", **extra_env)
+        env["PYTHONPATH"] = (repo_root + os.pathsep
+                             + env.get("PYTHONPATH", ""))
+        proc = subprocess.run(
+            [sys.executable, child, kind, str(b)], env=env,
+            capture_output=True, text=True, timeout=5400)
+        lines = [l for l in proc.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        key = f"{label}/{kind}_B{b}"
+        results[key] = (json.loads(lines[-1]) if lines
+                        else {"error": proc.stderr[-400:]})
+        print(key, json.dumps(results[key]), flush=True)
+    print("FINAL", json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
