@@ -63,7 +63,88 @@ CHUNKS = 6
 CHUNK_ITERS = 4
 
 
+def _subprocess_json(argv, timeout=5400, extra_env=None):
+    """Run a repo tool in a subprocess and return its last JSON line.
+
+    The TPU claim is EXCLUSIVE per process — a child cannot attach while
+    the parent holds the axon backend — so every subprocess bench MUST run
+    before main() first touches jax. Children get the repo root appended
+    to PYTHONPATH (never replaced: the ambient entry is how the TPU
+    plugin's sitecustomize is found)."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, **(extra_env or {}))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        proc = subprocess.run(argv, env=env, capture_output=True, text=True,
+                              timeout=timeout)
+        lines = [l for l in proc.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        return json.loads(lines[-1]) if lines else None
+    except Exception as e:
+        print(f"subprocess bench failed ({argv[1:]}): {e!r}", file=sys.stderr)
+        return None
+
+
+def _bench_extras():
+    """Training throughput + trained-weight int8 quality (VERDICT r2 items
+    2 and 6): measured in subprocesses so regressions show in BENCH_r*.json.
+
+    - train keys: scan-differenced ms/step at the reference operating
+      points (adversarial B=16 @ 640x320, Vistas B=30 @ 768x384), exactly
+      tools/bench_train_step.py's method.
+    - int8 trained keys: the tools/bench_int8_quality.py recipe (300-step
+      synthetic training, fixed seed, calib=1) — the random-weight
+      agreement below it is the pessimistic number; this is the one that
+      reflects serving reality.
+
+    HEATNET_BENCH_SKIP_EXTRAS=1 skips (quick local runs)."""
+    import os
+
+    if os.environ.get("HEATNET_BENCH_SKIP_EXTRAS") == "1":
+        return {}
+    root = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+
+    child = {"_HEATNET_TRAINBENCH_CHILD": "1"}
+    adv = _subprocess_json(
+        [sys.executable, os.path.join(root, "tools", "bench_train_step.py"),
+         "adv", "16"], extra_env=child)
+    vistas = _subprocess_json(
+        [sys.executable, os.path.join(root, "tools", "bench_train_step.py"),
+         "vistas", "30"], extra_env=child)
+    if adv:
+        out["train_seg_ms_b16"] = adv.get("seg_step_ms")
+        out["train_critic_ms_b16"] = adv.get("critic_step_ms")
+    if vistas:
+        out["train_vistas_ms_b30"] = vistas.get("step_ms")
+        if vistas.get("step_ms"):
+            # useful-FLOPs MFU of the supervised step: fwd + 2x bwd over
+            # the 427-GFLOP/frame model at 384x768 (312.5 GFLOP at
+            # 320x704 scaled by pixel count); the remat re-forward is NOT
+            # useful work and not counted
+            gflop = MODEL_GFLOP_PER_FRAME * (384 * 768) / (320 * 704)
+            useful = 3 * gflop * 1e9 * 30
+            out["train_vistas_mfu"] = round(
+                useful / (vistas["step_ms"] / 1e3)
+                / (V5E_PEAK_TFLOPS_BF16 * 1e12), 4)
+
+    q = _subprocess_json(
+        [sys.executable, os.path.join(root, "tools", "bench_int8_quality.py"),
+         "--json", "--calib", "1"])
+    if q:
+        out["int8_trained_agreement"] = q.get("int8_trained_agreement")
+        out["int8_trained_miou_delta"] = q.get("int8_trained_miou_delta")
+    return out
+
+
 def main() -> None:
+    # subprocess benches FIRST: the TPU claim is per-process exclusive,
+    # so these must finish before this process touches jax
+    extras = _bench_extras()
+
     import jax
     import jax.numpy as jnp
 
@@ -123,6 +204,7 @@ def main() -> None:
         "baseline_fps_estimate": BASELINE_FPS_ESTIMATE,
         "int8_fps": int8_fps,
         "int8_argmax_agreement": int8_agree,
+        **extras,
     }))
 
 

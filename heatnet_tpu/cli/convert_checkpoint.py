@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="prefix to rewrite (initModelRenamed), e.g. "
                         "'module.trgb_segnet.'")
     p.add_argument("--rename", default="", help="replacement prefix")
+    p.add_argument("--prepend", default="",
+                   help="prefix to PREPEND to every converted key — the "
+                        "pretrained-backbone path: a bare torchvision "
+                        "resnet state_dict lands under the extractor "
+                        "submodule with --prepend feats. (reproduces the "
+                        "reference's torchvision-URL init, "
+                        "extractors.py:369-408, from a local .pth)")
     return p
 
 
@@ -78,7 +85,8 @@ def main(argv=None) -> str:
     state_dict = load_torch_checkpoint(args.torch_checkpoint)
     params, batch_stats = import_into(
         params, batch_stats, state_dict,
-        to_rename=args.to_rename, rename=args.rename)
+        to_rename=args.to_rename, rename=args.rename,
+        prepend=args.prepend)
 
     bundle = {"state_dict": {"params": params}}
     if batch_stats is not None:

@@ -266,9 +266,19 @@ def rtfnet_transpose_paths(num_deconv: int = 5) -> Tuple[str, ...]:
 def import_into(target_params, target_stats, state_dict,
                 to_rename: str = "", rename: str = "",
                 rename_map: Dict[str, str] = None,
-                transpose_paths: Tuple[str, ...] = ()) -> Tuple[Any, Any]:
+                transpose_paths: Tuple[str, ...] = (),
+                prepend: str = "") -> Tuple[Any, Any]:
     """Full pipeline: convert names/layouts, optional prefix rewrite,
-    intersect into the target trees (initModelRenamed/Partial semantics)."""
+    intersect into the target trees (initModelRenamed/Partial semantics).
+
+    ``prepend`` prefixes every converted key — the pretrained-backbone
+    ingestion path: a bare torchvision ``resnet50(weights=...)``
+    state_dict has keys relative to the backbone (``layer1.0.conv1``),
+    while the extractor lives under a submodule of the full model (PSPNet
+    names it ``feats``); ``prepend="feats/"`` lands the backbone weights
+    there, reproducing the reference's torchvision-URL pretrained init
+    (extractors.py:369-408, critic_resnet.py:11-21) from a local file.
+    """
     from .checkpoint import _flatten, _unflatten, _shape_ok
 
     p_flat, s_flat = convert_state_dict(state_dict, rename_map=rename_map,
@@ -281,6 +291,10 @@ def import_into(target_params, target_stats, state_dict,
         rename = rename.replace(".", "/")
         p_flat = {k.replace(to_rename, rename): v for k, v in p_flat.items()}
         s_flat = {k.replace(to_rename, rename): v for k, v in s_flat.items()}
+    if prepend:
+        prepend = prepend.replace(".", "/")
+        p_flat = {prepend + k: v for k, v in p_flat.items()}
+        s_flat = {prepend + k: v for k, v in s_flat.items()}
 
     tgt_p = _flatten(target_params)
     new_p = {k: p_flat[k] if k in p_flat and _shape_ok(p_flat[k], v) else v

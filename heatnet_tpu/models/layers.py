@@ -322,17 +322,30 @@ class GroupedConvDense(nn.Module):
         affine right after the conv (numerically the same BN).
 
         ``train=True`` switches to the training dispatch rule: native
-        grouped only at ``cpg >= 16`` (mod5). The inference table above
-        does not transfer to training — the two gradient convs inherit
-        the forward's formulation, and XLA gives the native-grouped
-        forms batch-minor layouts whose transposes and following BN
-        stat reduces dominate the step (B=16 adversarial seg-step trace:
+        grouped only at ``cpg >= 16`` (mod5) AND work volume
+        ``N*H*W*cpg >= 1.5e6``. The inference table above does not
+        transfer to training — the two gradient convs inherit the
+        forward's formulation, and XLA gives the native-grouped forms
+        batch-minor layouts whose transposes and following BN stat
+        reduces dominate the step (B=16 adversarial seg-step trace:
         conv fusions 272 ms, BN stat reduces 172 ms, layout copies
-        168 ms). Measured scan-differenced on v5e (B=16 seg step,
-        tools/bench_train_step.py): auto-everywhere 722 ms, all-dense
-        614 ms, dense-except-mod5 (this rule) — see table in README.
-        Same grouped parameter layout either way; numerics unchanged
-        beyond bf16 accumulation order."""
+        168 ms). Measured scan-differenced on v5e
+        (tools/sweep_train_dispatch.py, 2026-08-19):
+
+        ===================  ================  ===========
+        training rule        adv seg B=16      vistas B=30
+        ===================  ================  ===========
+        inference rule       726.1 ms          (823 r2)
+        native mod5 always   588.2 ms          **701.9 ms**
+        all dense            **516.4 ms**      720.5 ms
+        ===================  ================  ===========
+
+        i.e. mod5's winner is work-dependent in training too: dense at
+        the adv step's 819k volume, native at the Vistas step's 2.2M —
+        the 1.5e6 threshold (HEATNET_GC_TRAIN_MIN_WORK) picks the
+        winner at every measured point. Same grouped parameter layout
+        either way; numerics unchanged beyond bf16 accumulation
+        order."""
         import os
 
         g = self.groups
@@ -398,8 +411,13 @@ class GroupedConvDense(nn.Module):
         min_work = float(os.environ.get("HEATNET_GC_MIN_WORK",
                                         self.min_work_native))
         if train:
-            # training rule (see docstring): dense except cpg >= 16
+            # training rule (see docstring): dense except cpg >= 16 AND
+            # work >= 1.5e6 — a train-specific work gate, NOT the
+            # inference 4e5 one (ADVICE r2: the inference gate silently
+            # applied in training; now explicit, measured, documented)
             min_cpg = int(os.environ.get("HEATNET_GC_TRAIN_MIN_CPG", 16))
+            min_work = float(os.environ.get("HEATNET_GC_TRAIN_MIN_WORK",
+                                            1.5e6))
         use_native = (impl == "native"
                       or (impl not in ("dense",)
                           and cin_pg >= min_cpg

@@ -216,3 +216,80 @@ def test_export_cli_arch_flag_is_honored():
     import pytest
     with pytest.raises(SystemExit):
         build_parser().parse_args(["--arch", "nonsense", "--out", "/tmp/x"])
+
+
+def test_pretrained_torchvision_backbone_ingestion(tmp_path):
+    """The pretrained-backbone path (VERDICT r2 missing-#2): a BARE
+    torchvision-style resnet state_dict (keys relative to the backbone:
+    conv1/bn1/layer1.0...) initializes the PSPNet extractor via
+    ``--prepend feats`` — reproducing the reference's torchvision-URL
+    pretrained init (extractors.py:369-408) from a local .pth.
+
+    The torch oracle is the reference's own critic_resnet (a faithful
+    torchvision-ResNet copy importable offline, critic_resnet.py:122-226),
+    so the state_dict keys are exactly torchvision's."""
+    import importlib.util
+    import os
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+    ref_dir = "/root/reference/models/confusion_maximization/models"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout not available")
+
+    # stub the torchvision pieces critic_resnet imports at module scope
+    if "torchvision.models.resnet" not in sys.modules:
+        tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+        tvm = getattr(tv, "models", None) or types.ModuleType(
+            "torchvision.models")
+        tvr = types.ModuleType("torchvision.models.resnet")
+        tvr.load_state_dict_from_url = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("offline"))
+        tv.models, tvm.resnet = tvm, tvr
+        sys.modules.setdefault("torchvision", tv)
+        sys.modules.setdefault("torchvision.models", tvm)
+        sys.modules["torchvision.models.resnet"] = tvr
+    spec = importlib.util.spec_from_file_location(
+        "_ref_critic_resnet_io", os.path.join(ref_dir, "critic_resnet.py"))
+    crm = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_critic_resnet_io"] = crm
+    spec.loader.exec_module(crm)
+
+    torch.manual_seed(0)
+    backbone_t = crm.resnet18(pretrained=False)
+    # perturb every tensor away from its default: BN weight=1/bias=0 and
+    # running stats coincide between torch and flax inits, which would make
+    # "did the leaf change" read as a miss for a perfectly ingested leaf
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(1)
+        for t in list(backbone_t.parameters()) + list(backbone_t.buffers()):
+            if t.dtype.is_floating_point:
+                t.add_(torch.randn(t.shape, generator=g) * 0.05)
+    sd = backbone_t.state_dict()  # torchvision-shaped keys
+
+    from heatnet_tpu.io.checkpoint import _flatten
+    from heatnet_tpu.io.torch_import import import_into
+    from heatnet_tpu.models.registry import build_network
+    from heatnet_tpu.train.state import init_model
+
+    model = build_network("resnet18", n_classes=13, in_channels=3,
+                          dtype=jnp.float32)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 64, 64, 3)), None,
+                                     init_kwargs={"train": True})
+    before = _flatten(params)
+    new_p, new_s = import_into(params, batch_stats, sd, prepend="feats/")
+    after = _flatten(new_p)
+
+    # every backbone conv/bn leaf that exists in both must now carry the
+    # torch values; PSP/decoder leaves stay at init
+    hits = [k for k in after
+            if k.startswith("feats/")
+            and not np.array_equal(before[k], after[k])]
+    assert len(hits) > 40, f"only {len(hits)} backbone leaves ingested"
+    k0 = "feats/conv1/kernel"
+    np.testing.assert_allclose(
+        after[k0], np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0)))
+    assert all(np.array_equal(before[k], after[k]) for k in after
+               if k.startswith(("psp/", "up_", "final/")))

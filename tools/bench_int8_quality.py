@@ -108,6 +108,13 @@ def main():
     ap.add_argument("--eval-batch", type=int, default=8)
     ap.add_argument("--hw", default="320x960",
                     help="raw frame size pre-crop (the real camera frame)")
+    ap.add_argument("--json", action="store_true",
+                    help="print ONE machine-readable JSON line (calib=1 "
+                         "row only) — consumed by bench.py so the driver "
+                         "artifact carries the trained-weight int8 truth "
+                         "(VERDICT r2 item 6)")
+    ap.add_argument("--calib", type=int, nargs="+", default=None,
+                    help="calibration batch counts to sweep")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split("x"))
     mh, mw = h, (w - 260) + 4  # window crop 150:850 then pad 2+2
@@ -183,7 +190,7 @@ def main():
         qmodel = ResNeXtSeg(structure=(3, 4, 6, 3), input_channels=4,
                             dtype=jnp.bfloat16)
         rows = []
-        for k in (1, 4, 16):
+        for k in (args.calib or (1, 4, 16)):
             qvars = calibrate_int8(qmodel.apply, dict(trained), calib_all[:k])
 
             @jax.jit
@@ -210,6 +217,17 @@ def main():
             print(f"{k:5d} {np.nanmean(iou_q):7.4f} "
                   f"{np.nanmean(iou_q) - np.nanmean(iou_b):+8.4f} {agree:7.4f} "
                   f"{np.nanmin(d):+18.4f}")
+        if args.json:
+            import json
+            k, iou_q, agree = rows[0]
+            print(json.dumps({
+                "bf16_trained_miou": round(float(np.nanmean(iou_b)), 4),
+                "int8_trained_miou": round(float(np.nanmean(iou_q)), 4),
+                "int8_trained_miou_delta": round(
+                    float(np.nanmean(iou_q) - np.nanmean(iou_b)), 4),
+                "int8_trained_agreement": round(agree, 4),
+                "calib_batches": k,
+            }))
     finally:
         del os.environ["HEATNET_QUANT"]
 

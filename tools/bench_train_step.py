@@ -26,11 +26,15 @@ with the same biased method on both sides and remain directionally
 right, but only the scan-differenced numbers below are load-bearing.
 
 Measured v5e (2026-08-19, scan-differenced, remat=True, banded dilated
-convs, per-config subprocess):
+convs, per-config subprocess). Round-2 numbers — measured BEFORE the
+train dispatch rule existed, i.e. under the inference rule:
   adv  B=4   seg 221.4 ms / critic  51.3 ms
   adv  B=16  seg 722.2 ms / critic 201.6 ms  (match their device traces:
              743 / 206 ms — tools/profile_infer.py-style xplane parse)
   vistas B=8  208.2 ms   B=30  823.3 ms
+Round-3 (work-gated training rule, tools/sweep_train_dispatch.py):
+  adv  B=16  seg 516.4 ms / critic 130.2 ms  (mod5 dense at this volume)
+  vistas B=30  701.9 ms                      (mod5 native at this volume)
 
 Run: `python tools/bench_train_step.py [adv_batches ...]`.
 """

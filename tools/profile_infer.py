@@ -106,22 +106,14 @@ def sol_report(infer, rgb, ir):
     return ms
 
 
-def trace_report(infer, rgb, ir, logdir="/tmp/heatnet_trace"):
-    import jax
-
-    for _ in range(2):
-        infer(rgb, ir).block_until_ready()
-    jax.profiler.start_trace(logdir)
-    for _ in range(3):
-        out = infer(rgb, ir)
-    out.block_until_ready()
-    jax.profiler.stop_trace()
-
+def parse_xplane(logdir, iters, top=25):
+    """Parse the newest xplane proto under logdir: per-op and per-category
+    device-time buckets. Returns (per_op, per_cat, total_us) or None."""
     paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
         print("no xplane trace emitted (device tracing unsupported here)")
-        return
+        return None
     xplane_pb2 = None
     for modname in ("tensorflow.tsl.profiler.protobuf.xplane_pb2",
                     "xprof.protobuf.xplane_pb2",
@@ -134,7 +126,7 @@ def trace_report(infer, rgb, ir, logdir="/tmp/heatnet_trace"):
             continue
     if xplane_pb2 is None:
         print("no xplane proto parser importable")
-        return
+        return None
     space = xplane_pb2.XSpace()
     with open(paths[-1], "rb") as f:
         space.ParseFromString(f.read())
@@ -146,7 +138,7 @@ def trace_report(infer, rgb, ir, logdir="/tmp/heatnet_trace"):
     if not device_planes:
         print(f"planes in trace: {[p.name for p in space.planes]}")
         print("no device plane captured (relay does not expose device trace)")
-        return
+        return None
     for plane in device_planes:
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
@@ -157,14 +149,28 @@ def trace_report(infer, rgb, ir, logdir="/tmp/heatnet_trace"):
                 cat = name.split(".")[0].split("(")[0]
                 per_cat[cat] += dur_us
     total = sum(per_op.values())
-    print(f"\ndevice trace: {total / 1e3:.1f} ms total over 3 iters"
-          f" ({total / 3e3:.1f} ms/iter)")
-    print("top 25 device ops by accumulated time:")
-    for name, us in per_op.most_common(25):
+    print(f"\ndevice trace: {total / 1e3:.1f} ms total over {iters} iters"
+          f" ({total / iters / 1e3:.1f} ms/iter)")
+    print(f"top {top} device ops by accumulated time:")
+    for name, us in per_op.most_common(top):
         print(f"  {us / 1e3:9.2f} ms  {100 * us / total:5.1f}%  {name[:90]}")
     print("by category:")
     for cat, us in per_cat.most_common(15):
         print(f"  {us / 1e3:9.2f} ms  {100 * us / total:5.1f}%  {cat}")
+    return per_op, per_cat, total
+
+
+def trace_report(infer, rgb, ir, logdir="/tmp/heatnet_trace"):
+    import jax
+
+    for _ in range(2):
+        infer(rgb, ir).block_until_ready()
+    jax.profiler.start_trace(logdir)
+    for _ in range(3):
+        out = infer(rgb, ir)
+    out.block_until_ready()
+    jax.profiler.stop_trace()
+    parse_xplane(logdir, iters=3)
 
 
 def main():
