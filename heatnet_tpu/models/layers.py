@@ -335,7 +335,7 @@ class GroupedConvDense(nn.Module):
         ===================  ================  ===========
         training rule        adv seg B=16      vistas B=30
         ===================  ================  ===========
-        inference rule       726.1 ms          (823 r2)
+        inference rule       726.1 ms          815.8 ms
         native mod5 always   588.2 ms          **701.9 ms**
         all dense            **516.4 ms**      720.5 ms
         ===================  ================  ===========

@@ -24,7 +24,7 @@ discrepancy; both round-2 numbers are reproduced by their configs):
   rule                adv B=16 seg/critic    vistas B=30
   shipped (r2 rule)   588.2 / 154.9 ms       701.9 ms
   all-dense           516.4 / 130.2 ms       720.5 ms
-  auto (inference)    (see FINAL line in /tmp or README table)
+  auto (inference)    726.1 / 203.6 ms       815.8 ms
 
 i.e. mod5's winner is WORK-DEPENDENT in training too: dense at the adv
 step's 819k work volume, native at the Vistas step's 2.2M.
