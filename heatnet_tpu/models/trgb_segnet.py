@@ -125,13 +125,20 @@ class ResNeXtSeg(nn.Module):
         # backward re-forward skips every stat reduce (layers.py
         # StatNamedBatchNorm) — reduces are full HBM re-reads of the conv
         # outputs and cost 172 ms of the B=16 adversarial seg step.
-        # HEATNET_REMAT_STAGES ("1111" default) gates remat per backbone
-        # stage (mod2..mod5) for selective-recompute sweeps: a '0' stage
-        # saves its internals and skips the backward re-forward entirely
-        # (tools/sweep_train_dispatch.py measures the tradeoff).
+        # HEATNET_REMAT_STAGES gates remat per backbone stage (mod2..mod5):
+        # a '0' stage saves its internals and skips the backward re-forward
+        # entirely. Default "1110" = save mod5, remat the rest — measured
+        # best at BOTH reference operating points (v5e, scan-differenced,
+        # tools/sweep_train_dispatch.py): mod5 is the most expensive
+        # re-forward (the 1024->2048 1x1s; 130 of the 300 ms forward at
+        # inference scale) while its 1/8-res activations are the cheapest
+        # to hold. Measured: adv seg B=16 517.5 -> 472.5 ms, Vistas B=30
+        # 701.9 -> 635.9 ms; saving mod4 too ("1100") or everything
+        # ("0000") OOMs at B=30 x 384x768. Set "1111" for workloads larger
+        # than the reference's where the saved mod5 tensors stop fitting.
         import os
 
-        remat_mask = os.environ.get("HEATNET_REMAT_STAGES", "1111")
+        remat_mask = os.environ.get("HEATNET_REMAT_STAGES", "1110")
         remat_stage_cls = nn.remat(_Stage, static_argnums=(2,),
                                    policy=BN_STATS_SAVE_POLICY)
 

@@ -10,12 +10,28 @@ the measured e2e batch time says how much structural headroom the graph
 still has: measured/bound ≈ 1 means the remaining gap is hardware, not
 graph shape.
 
-Timing is scan-differenced (the bench_train_step.py method — the only
-timing the axon relay can't distort): N applications inside one jitted
-``lax.scan`` with the input perturbed per iteration and the output summed
-back into the carry (one extra output+input elementwise pass per iter,
-<2% bias at these stage sizes, noted here once), two scan lengths
-differenced so dispatch constants cancel.
+Timing is pipelined per-call (``bench_int8_roofline._time``: 10 enqueued
+applications, one block at the end). Two measurement caveats, both
+learned the hard way:
+
+- The scan-differenced method this tool first shipped with (fold each
+  output back into a scanned input carry) measured the stem at 431 ms vs
+  its known 16.5 ms: with the full (128,320,964,4) input as the carry,
+  every iteration pays buffer copies of the carry instead of aliasing
+  it, and the measurement is the copies, not the stage.
+  Scan-differencing is for steps whose carry is the small train state;
+  stage benches use the pipelined method.
+- The pipelined per-call times still carry NON-OVERLAPPED relay dispatch
+  per stage call: the 2026-08-19 run sums stages to 463 ms against the
+  286 ms e2e batch — standalone stage times are upper bounds, useful for
+  RANKING stages, not for absolute attribution (use
+  tools/profile_infer.py --trace for that). The COST-MODEL columns
+  (XLA's own post-fusion FLOPs/bytes) are exact per stage, and the
+  decisive output is the composite-bound comparison: e2e 286 ms vs
+  sum-of-stage-bounds 291.3 ms (0.98x — the e2e graph is AT its serial
+  composite roofline; inter-stage prefetch overlap is how it slips just
+  under a bound that double-counts boundary traffic) and vs the
+  perfect-overlap floor sum(compute floors) = 247.8 ms (1.15x).
 
 Run on the real chip:
     python tools/bench_bf16_roofline.py [--batch 128]
@@ -27,44 +43,20 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
 
 V5E_PEAK_TFLOPS_BF16 = 197.0
 V5E_HBM_GBS = 819.0
 
 
-def scan_time_ms(apply_fn, x, n_small=2, n_large=10):
-    """ms/application via scan-differencing; see module docstring."""
+def stage_time_ms(apply_fn, x):
+    """ms/application, pipelined per-call; see module docstring."""
     import jax
-    import jax.numpy as jnp
 
-    def step(carry, i):
-        y = apply_fn(carry + i * jnp.asarray(1e-9, carry.dtype))
-        leaves = [l for l in jax.tree_util.tree_leaves(y)
-                  if hasattr(l, "dtype")]
-        s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-        return carry + (s * 1e-30).astype(carry.dtype), None
+    from bench_int8_roofline import _time
 
-    def timed(n):
-        @jax.jit
-        def run(x):
-            out, _ = jax.lax.scan(step, x,
-                                  jnp.arange(n, dtype=jnp.float32))
-            return out
-
-        def fetch(out):
-            np.asarray(jax.device_get(out)).ravel()[:1]
-
-        fetch(run(x))
-        t0 = time.perf_counter()
-        fetch(run(x))
-        return time.perf_counter() - t0
-
-    return (timed(n_large) - timed(n_small)) / (n_large - n_small) * 1e3
+    return _time(jax.jit(apply_fn), x)
 
 
 def stage_cost(apply_fn, x):
@@ -106,7 +98,7 @@ def main():
         flops, bts = stage_cost(apply_fn, x)
         t_flop = flops / (V5E_PEAK_TFLOPS_BF16 * 1e12) * 1e3
         t_hbm = bts / (V5E_HBM_GBS * 1e9) * 1e3
-        ms = scan_time_ms(apply_fn, x)
+        ms = stage_time_ms(apply_fn, x)
         bound = max(t_flop, t_hbm)
         rows.append((name, ms, t_flop, t_hbm, bound))
         print(f"  {name:8s} {ms:8.2f} ms   compute floor {t_flop:7.2f}  "
@@ -127,6 +119,8 @@ def main():
         "batch": args.batch,
         "stage_sum_ms": round(tot_ms, 2),
         "composite_bound_ms": round(tot_bound, 2),
+        "sum_compute_floor_ms": round(sum(r[2] for r in rows), 2),
+        "sum_hbm_floor_ms": round(sum(r[3] for r in rows), 2),
         "x_of_bound": round(tot_ms / tot_bound, 3),
         "stages": {r[0]: {"ms": round(r[1], 2), "bound": round(r[4], 2)}
                    for r in rows},

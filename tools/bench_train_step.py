@@ -32,9 +32,12 @@ train dispatch rule existed, i.e. under the inference rule:
   adv  B=16  seg 722.2 ms / critic 201.6 ms  (match their device traces:
              743 / 206 ms — tools/profile_infer.py-style xplane parse)
   vistas B=8  208.2 ms   B=30  823.3 ms
-Round-3 (work-gated training rule, tools/sweep_train_dispatch.py):
-  adv  B=16  seg 516.4 ms / critic 130.2 ms  (mod5 dense at this volume)
-  vistas B=30  701.9 ms                      (mod5 native at this volume)
+Round-3 (work-gated training rule, then the HEATNET_REMAT_STAGES=1110
+default — save mod5, remat mod2-4; tools/sweep_train_dispatch.py):
+  adv  B=4   seg 164.2 ms (training rule, remat 1111)
+  adv  B=16  seg 517.5 -> 472.5 ms / critic ~131 ms
+  vistas B=8  196.9 ms (training rule, remat 1111)
+  vistas B=30  701.9 -> 635.9 ms
 
 Run: `python tools/bench_train_step.py [adv_batches ...]`.
 """
@@ -73,7 +76,14 @@ def _run_one(kind: str, batch: int) -> None:
         of the scan — measured live: the critic step scans at 12.8
         ms/step with a constant batch (frozen-segnet forward hoisted) vs
         its true 206 ms device time. ``probe(state)`` returns leaves of
-        every subtree the step updates (so DCE cannot drop the scan)."""
+        every subtree the step updates (so DCE cannot drop the scan).
+
+        Each scan length is timed twice and the MIN taken (relay/host
+        noise is one-sided), and an implausibly small difference (a
+        hiccup on the short run exceeding the whole long-short delta —
+        seen live as a NEGATIVE critic time at B=4, where 4 extra steps
+        are only ~200 ms) triggers one retry with 3x the long scan so the
+        delta dwarfs the noise."""
 
         def timed(n):
             @jax.jit
@@ -92,12 +102,20 @@ def _run_one(kind: str, batch: int) -> None:
                 for leaf in jax.tree_util.tree_leaves(out):
                     np.asarray(jax.device_get(leaf)).ravel()[:1]
 
-            fetch(run(state0))
-            t0 = time.perf_counter()
-            fetch(run(state0))
-            return time.perf_counter() - t0
+            fetch(run(state0))  # compile + first-run warmup
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fetch(run(state0))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-        return (timed(n_large) - timed(n_small)) / (n_large - n_small) * 1e3
+        for scale in (1, 3):
+            n_hi = n_small + (n_large - n_small) * scale
+            ms = (timed(n_hi) - timed(n_small)) / (n_hi - n_small) * 1e3
+            if ms > 1.0:  # any real step here is >>1 ms
+                return ms
+        return ms
 
     def perturb(batch, i):
         # per-iteration input dependence (invisible at bf16 precision)

@@ -29,6 +29,20 @@ discrepancy; both round-2 numbers are reproduced by their configs):
 i.e. mod5's winner is WORK-DEPENDENT in training too: dense at the adv
 step's 819k work volume, native at the Vistas step's 2.2M.
 
+Phase-2 matrix (work-gated training rule shipped, then remat-mask sweep —
+HEATNET_REMAT_STAGES, '0' = save that stage instead of rematting it):
+
+  config                     adv B=16 seg     vistas B=30
+  training rule, remat 1111  517.5 ms         (701.9)
+  remat 1110 (save mod5)     472.5 ms         635.9 ms   <- shipped default
+  remat 1100 / 0000          -                OOM (HLO temp exhausted)
+
+Smaller batches under the training rule (remat 1111): adv B=4 seg
+164.2 ms (the B=4 critic delta is below this method's noise floor — the
+negative value it produced is why scan_timeit now retries with a 3x
+scan), vistas B=8 196.9 ms vs 207.4 with mod5 forced native — the 1.5e6
+work gate picks the winner at B=8 too.
+
 Run: `python tools/sweep_train_dispatch.py [specs...]`.
 """
 
