@@ -18,7 +18,12 @@ answer different questions:
 
 Also sweeps the latency levers: banded dilated convs on/off (the banding
 cost model is batch-independent, but at batch 1 the side-band slices are
-launch-bound), and input buffer donation.
+launch-bound). Input-buffer donation (``build(donate=True)``) is NOT a
+lever for this graph and is not swept: XLA can only alias a donated input
+to an output of identical byte size/layout, and here the inputs (uint8
+RGB 320x960x3, uint16 IR 320x960x1) share no shape with the sole output
+(uint8 class map) — donation would emit its "donated buffers not usable"
+warning and change nothing.
 
 Run on the real chip:
     python tools/bench_latency.py [--trace]
@@ -37,7 +42,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build(batch=1, donate=False):
+def build(batch=1, donate=False, arg_vars=False):
+    """``arg_vars``: pass the weights as a jit ARGUMENT instead of a
+    closure. Closed-over weights become executable constants, and the
+    batch-1 device trace shows those streamed from HOST memory space S(1)
+    per call (copy-starts of conv kernels, ~5.7 ms/frame accumulated)
+    plus the block-diagonal dense-weight construction re-running per call
+    (multiply_bitcast + reshape, ~3.5 ms). MEASURED OUTCOME (2026-08-19):
+    those spans are async and hidden behind compute — argument weights
+    win only 0.6 ms of device time (22.43 vs 22.99) while HOST latency
+    regresses 17 ms (76.0 vs 58.7: per-call pytree flattening of ~300
+    weight leaves) — so the serving CLIs keep closure weights. Kept as a
+    sweepable mode because the answer is workload-dependent (larger
+    derived-weight graphs may differ)."""
     import jax
     import jax.numpy as jnp
 
@@ -56,74 +73,94 @@ def build(batch=1, donate=False):
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((batch, 320, 704, 3)), jnp.zeros((batch, 320, 704, 1)))
 
-    def infer(rgb, ir):
+    def infer_v(variables, rgb, ir):
         rgb_f, ir_f = inference_preprocess(rgb, ir)
         rgb_f = jnp.pad(rgb_f, ((0, 0), (0, 0), (2, 2), (0, 0)))
         ir_f = jnp.pad(ir_f, ((0, 0), (0, 0), (2, 2), (0, 0)))
         seg, _, _ = model.apply(variables, rgb_f, ir_f)
         return jnp.argmax(seg, axis=-1).astype(jnp.uint8)
 
+    if arg_vars:
+        # variables travel as a jit ARGUMENT: (fn, extra) with
+        # fn(*extra, rgb, ir)
+        return jax.jit(infer_v), (variables,), rgb, ir
+
     kw = {"donate_argnums": (0, 1)} if donate else {}
-    return jax.jit(infer, **kw), rgb, ir
+    return (jax.jit(lambda rgb, ir: infer_v(variables, rgb, ir), **kw),
+            (), rgb, ir)
 
 
-def device_ms(infer, rgb, ir, n_small=4, n_large=24):
+def device_ms(infer, extra, rgb, ir, n_small=4, n_large=24):
     """Chip time per frame via scan-differencing: frame i+1's input
-    depends on frame i's output (a serial chain, like a robot loop)."""
+    depends on frame i's output (a serial chain, like a robot loop).
+
+    ``extra`` (the weights, in arg_vars mode) is an argument of the outer
+    jitted ``run`` — inside the scan it is a tracer, so the weights keep
+    argument (persistent-HBM) semantics instead of being re-captured as
+    executable constants."""
     import jax
     import jax.numpy as jnp
 
-    def step(carry, _):
-        rgb_c, ir_c = carry
-        out = infer(rgb_c, ir_c)
-        # thread the output back into the next frame's input: xor the raw
-        # IR with the class map's LSB — a REAL serial dependence XLA can't
-        # fold away (x*0 or min(u8,0) would constant-fold and let the scan
-        # hoist/pipeline the frames), worth ±1 count of radiometric noise
-        ir_n = ir_c ^ (out[..., None].astype(jnp.uint16) & 1)
-        return (rgb_c, ir_n), None
+    def step_mk(extra_t):
+        def step(carry, _):
+            rgb_c, ir_c = carry
+            out = infer(*extra_t, rgb_c, ir_c)
+            # thread the output back into the next frame's input: xor the
+            # raw IR with the class map's LSB — a REAL serial dependence
+            # XLA can't fold away (x*0 or min(u8,0) would constant-fold
+            # and let the scan hoist/pipeline the frames), worth ±1 count
+            # of radiometric noise. The class map is narrower than the raw
+            # frame (inference crops to the 700-window then pads +2+2 →
+            # 704 wide): strip the pad and zero-pad back to the IR width.
+            m = out[:, :, 2:-2, None].astype(jnp.uint16) & 1
+            m = jnp.pad(m, ((0, 0), (0, 0),
+                            (0, ir_c.shape[2] - m.shape[2]), (0, 0)))
+            ir_n = ir_c ^ m
+            return (rgb_c, ir_n), None
+        return step
 
     def timed(n):
         @jax.jit
-        def run(rgb, ir):
-            carry, _ = jax.lax.scan(step, (rgb, ir), None, length=n)
+        def run(extra_t, rgb, ir):
+            carry, _ = jax.lax.scan(step_mk(extra_t), (rgb, ir), None,
+                                    length=n)
             return carry[1]
 
         def fetch(out):
             np.asarray(jax.device_get(out)).ravel()[:1]
 
-        fetch(run(rgb, ir))
+        fetch(run(extra, rgb, ir))
         t0 = time.perf_counter()
-        fetch(run(rgb, ir))
+        fetch(run(extra, rgb, ir))
         return time.perf_counter() - t0
 
     return (timed(n_large) - timed(n_small)) / (n_large - n_small) * 1e3
 
 
-def host_ms(infer, rgb, ir, iters=30):
+def host_ms(infer, extra, rgb, ir, iters=30):
     import jax
 
     for _ in range(5):
-        out = infer(rgb, ir)
+        out = infer(*extra, rgb, ir)
     jax.block_until_ready(out)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        np.asarray(jax.device_get(infer(rgb, ir))).ravel()[:1]
+        np.asarray(jax.device_get(infer(*extra, rgb, ir))).ravel()[:1]
         ts.append((time.perf_counter() - t0) * 1e3)
     return float(np.median(ts))
 
 
-def pipelined_ms(infer, rgb, ir, depth=4, iters=40):
+def pipelined_ms(infer, extra, rgb, ir, depth=4, iters=40):
     import jax
 
     for _ in range(5):
-        out = infer(rgb, ir)
+        out = infer(*extra, rgb, ir)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     outs = []
     for i in range(iters):
-        outs.append(infer(rgb, ir))
+        outs.append(infer(*extra, rgb, ir))
         if len(outs) > depth:
             jax.block_until_ready(outs.pop(0))
     jax.block_until_ready(outs)
@@ -136,15 +173,19 @@ def main():
     args = ap.parse_args()
 
     results = {}
-    for label, env in [("banded", None), ("monolithic",
-                                          {"HEATNET_BANDED_DILATED": "off"})]:
-        if env:
-            os.environ.update(env)
-        infer, rgb, ir = build()
+    for label, env in [("banded_argvars", "ARGVARS"), ("banded", None),
+                       ("monolithic", {"HEATNET_BANDED_DILATED": "off"})]:
+        if env == "ARGVARS":
+            infer, extra, rgb, ir = build(arg_vars=True)
+            env = None
+        else:
+            if env:
+                os.environ.update(env)
+            infer, extra, rgb, ir = build()
         results[label] = {
-            "device_ms": round(device_ms(infer, rgb, ir), 2),
-            "host_ms": round(host_ms(infer, rgb, ir), 2),
-            "pipelined_ms": round(pipelined_ms(infer, rgb, ir), 2),
+            "device_ms": round(device_ms(infer, extra, rgb, ir), 2),
+            "host_ms": round(host_ms(infer, extra, rgb, ir), 2),
+            "pipelined_ms": round(pipelined_ms(infer, extra, rgb, ir), 2),
         }
         print(label, json.dumps(results[label]), flush=True)
         if env:
@@ -156,14 +197,15 @@ def main():
 
         from profile_infer import parse_xplane
 
-        infer, rgb, ir = build()
+        # trace the arg_vars graph (the shipped serving shape)
+        infer, extra, rgb, ir = build(arg_vars=True)
         for _ in range(3):
-            out = infer(rgb, ir)
+            out = infer(*extra, rgb, ir)
         jax.block_until_ready(out)
         logdir = "/tmp/heatnet_lat_trace"
         jax.profiler.start_trace(logdir)
         for _ in range(5):
-            out = infer(rgb, ir)
+            out = infer(*extra, rgb, ir)
         jax.block_until_ready(out)
         jax.profiler.stop_trace()
         parse_xplane(logdir, iters=5, top=30)
