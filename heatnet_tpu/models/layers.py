@@ -237,6 +237,18 @@ class StatNamedBatchNorm(nn.BatchNorm):
 BN_STATS_SAVE_POLICY = jax.checkpoint_policies.save_only_these_names(
     "bn_stats")
 
+#: Remat policy for the ``c`` stage mode (trgb_segnet.HEATNET_REMAT_STAGES):
+#: additionally save every residual-block conv output
+#: (IdentityResidualBlock names them "conv_out"). Backward then needs NO
+#: conv recompute at all — BN backward gets its input (the conv output)
+#: directly, and the weight-grad convs take BN outputs that recompute
+#: elementwise from the saved conv outputs — so the stage re-forward
+#: shrinks from a full second forward to a cheap normalize/act sweep.
+#: Holds ~1/3 of the stage's "save everything" footprint (conv outputs
+#: only, not post-act copies / residual sums).
+CONV_SAVE_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "bn_stats", "conv_out")
+
 
 class ABN(nn.Module):
     """Activated Batch Normalization: BN then activation (segnet.py:20-41)."""
@@ -1038,6 +1050,8 @@ class IdentityResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from jax.ad_checkpoint import checkpoint_name
+
         chans = tuple(self.channels)
         if len(chans) not in (2, 3):
             raise ValueError("channels must contain either two or three values")
@@ -1048,22 +1062,31 @@ class IdentityResidualBlock(nn.Module):
         need_proj = self.stride != 1 or in_channels != chans[-1]
 
         bn1 = ABN(self.norm_act, self.dtype, name="bn1")(x, train)
+        # "conv_out" names make each conv's output saveable under
+        # CONV_SAVE_POLICY (the 'c' stage-remat mode); a no-op under any
+        # other policy or outside remat.
         shortcut = (
-            conv(chans[-1], 1, stride=self.stride, name="proj_conv", dtype=self.dtype)(bn1)
+            checkpoint_name(
+                conv(chans[-1], 1, stride=self.stride, name="proj_conv",
+                     dtype=self.dtype)(bn1), "conv_out")
             if need_proj
             else x
         )
 
         if not is_bottleneck:
-            out = conv(chans[0], 3, stride=self.stride, dilation=self.dilation,
-                       name="conv1", dtype=self.dtype)(bn1)
+            out = checkpoint_name(
+                conv(chans[0], 3, stride=self.stride, dilation=self.dilation,
+                     name="conv1", dtype=self.dtype)(bn1), "conv_out")
             out = ABN(self.norm_act, self.dtype, name="bn2")(out, train)
-            out = conv(chans[1], 3, dilation=self.dilation, name="conv2",
-                       dtype=self.dtype)(out)
+            out = checkpoint_name(
+                conv(chans[1], 3, dilation=self.dilation, name="conv2",
+                     dtype=self.dtype)(out), "conv_out")
         else:
             import os
 
-            out = conv(chans[0], 1, stride=self.stride, name="conv1", dtype=self.dtype)(bn1)
+            out = checkpoint_name(
+                conv(chans[0], 1, stride=self.stride, name="conv1",
+                     dtype=self.dtype)(bn1), "conv_out")
             out = ABN(self.norm_act, self.dtype, name="bn2")(out, train)
             conv2 = conv(chans[1], 3, dilation=self.dilation, groups=self.groups,
                          name="conv2", dtype=self.dtype)
@@ -1091,10 +1114,14 @@ class IdentityResidualBlock(nn.Module):
                 bias_v, scale_v = tb[0, 0, 0], tb[1, 0, 0] - tb[0, 0, 0]
                 out = conv2(out, epilogue=(scale_v, bias_v, self.norm_act))
             else:
-                out = (conv2(out, train=train)
-                       if isinstance(conv2, GroupedConvDense) else conv2(out))
+                out = checkpoint_name(
+                    conv2(out, train=train)
+                    if isinstance(conv2, GroupedConvDense) else conv2(out),
+                    "conv_out")
                 out = bn3(out, train)
-            out = conv(chans[2], 1, name="conv3", dtype=self.dtype)(out)
+            out = checkpoint_name(
+                conv(chans[2], 1, name="conv3", dtype=self.dtype)(out),
+                "conv_out")
 
         return out + shortcut.astype(out.dtype)
 

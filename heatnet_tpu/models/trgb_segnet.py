@@ -30,6 +30,7 @@ from .layers import (
     ABN,
     ASPP,
     BN_STATS_SAVE_POLICY,
+    CONV_SAVE_POLICY,
     FuseModule,
     InitBlock,
     IdentityResidualBlock,
@@ -126,26 +127,40 @@ class ResNeXtSeg(nn.Module):
         # StatNamedBatchNorm) — reduces are full HBM re-reads of the conv
         # outputs and cost 172 ms of the B=16 adversarial seg step.
         # HEATNET_REMAT_STAGES gates remat per backbone stage (mod2..mod5):
-        # a '0' stage saves its internals and skips the backward re-forward
-        # entirely. Default "1110" = save mod5, remat the rest — measured
-        # best at BOTH reference operating points (v5e, scan-differenced,
-        # tools/sweep_train_dispatch.py): mod5 is the most expensive
-        # re-forward (the 1024->2048 1x1s; 130 of the 300 ms forward at
-        # inference scale) while its 1/8-res activations are the cheapest
-        # to hold. Measured: adv seg B=16 517.5 -> 472.5 ms, Vistas B=30
-        # 701.9 -> 635.9 ms; saving mod4 too ("1100") or everything
-        # ("0000") OOMs at B=30 x 384x768. Set "1111" for workloads larger
-        # than the reference's where the saved mod5 tensors stop fitting.
+        # '1' remats the stage (BN stats saved), '0' saves its internals
+        # and skips the backward re-forward entirely, 'c' remats with the
+        # block conv outputs ALSO saved (CONV_SAVE_POLICY) — no conv
+        # recompute, ~1/3 of '0's held bytes. Default "11cc" = conv-save
+        # mod4+mod5, full-remat mod2+mod3 — measured best at BOTH
+        # reference operating points (v5e, scan-differenced,
+        # tools/sweep_train_dispatch.py): mod4/mod5 carry the expensive
+        # re-forwards (wide 1x1s at 1/8 res) while their conv outputs are
+        # cheap to hold; mod2/mod3's big early tensors are what OOM.
+        # Measured (vs the round-2 "1110" default): adv seg B=16
+        # 472.5 -> 459.6 ms, Vistas B=30 635.9 -> 617.0; "cccc" ties adv
+        # (458.6) but OOMs Vistas; "1110"'s saved-everything mod5 also sat
+        # at 14.1 GB peak, host-offloading cold params (~2.4k copy-starts
+        # in the compiled scan graph). Set "1111" for workloads larger
+        # than the reference's where even the conv-out saves stop fitting.
         import os
 
-        remat_mask = os.environ.get("HEATNET_REMAT_STAGES", "1110")
+        remat_mask = os.environ.get("HEATNET_REMAT_STAGES", "11cc")
         remat_stage_cls = nn.remat(_Stage, static_argnums=(2,),
                                    policy=BN_STATS_SAVE_POLICY)
+        # 'c' mode: remat with the block conv outputs ALSO saved
+        # (CONV_SAVE_POLICY) — the backward re-forward degenerates to the
+        # elementwise BN/act sweep (no conv recompute) at ~1/3 the held
+        # bytes of a '0' (save-everything) stage. See the measured table
+        # in README (tools/sweep_train_dispatch.py).
+        convsave_stage_cls = nn.remat(_Stage, static_argnums=(2,),
+                                      policy=CONV_SAVE_POLICY)
 
         def stage(name: str, mod_id: int, channels) -> _Stage:
-            stage_cls = (remat_stage_cls
-                         if self.remat and remat_mask[mod_id] == "1"
-                         else _Stage)
+            stage_cls = _Stage
+            if self.remat and remat_mask[mod_id] == "1":
+                stage_cls = remat_stage_cls
+            elif self.remat and remat_mask[mod_id] == "c":
+                stage_cls = convsave_stage_cls
             return stage_cls(
                 num_blocks=self.structure[mod_id],
                 channels=channels,

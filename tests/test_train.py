@@ -302,3 +302,42 @@ def test_stat_named_bn_identical_and_remat_policy_grads():
         jax.tree_util.tree_leaves(grads[False]),
         jax.tree_util.tree_leaves(grads[True]))]
     assert max(deltas) < 1e-4, max(deltas)
+
+
+def test_conv_save_remat_mode_grads_identical(monkeypatch):
+    """The 'c' stage-remat mode (HEATNET_REMAT_STAGES, CONV_SAVE_POLICY:
+    conv outputs saved by name so the backward re-forward needs no conv
+    recompute) must be a pure scheduling choice — losses and gradients
+    bit-comparable to full remat ('1') and save-everything ('0') within
+    fp32 accumulation tolerance, for uniform and mixed masks."""
+    img = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3),
+                      jnp.float32)
+    lab = jnp.asarray(
+        (np.random.RandomState(2).rand(2, 64, 64) * 4.9).astype(np.int32))
+
+    def grads_for(mask):
+        monkeypatch.setenv("HEATNET_REMAT_STAGES", mask)
+        model = ResNeXtSeg(structure=TINY, input_channels=3, classes=5,
+                           remat=True)
+        params, bs = init_model(model, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3)), None,
+                                init_kwargs={"train": True})
+
+        def loss_fn(p):
+            (seg, _, _), mut = model.apply(
+                {"params": p, "batch_stats": bs}, img, None, train=True,
+                mutable=["batch_stats"])
+            return optax.softmax_cross_entropy_with_integer_labels(
+                seg.astype(jnp.float32), lab).mean(), mut
+
+        (loss, _), g = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True))(params)
+        return float(loss), g
+
+    results = {m: grads_for(m) for m in ("1111", "cccc", "0000", "c1c0")}
+    base_loss, base_g = results["1111"]
+    for mask, (loss, g) in results.items():
+        assert abs(loss - base_loss) < 1e-6, (mask, loss, base_loss)
+        deltas = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+            jax.tree_util.tree_leaves(base_g), jax.tree_util.tree_leaves(g))]
+        assert max(deltas) < 1e-4, (mask, max(deltas))

@@ -37,6 +37,16 @@ HEATNET_REMAT_STAGES, '0' = save that stage instead of rematting it):
   remat 1110 (save mod5)     472.5 ms         635.9 ms   <- shipped default
   remat 1100 / 0000          -                OOM (HLO temp exhausted)
 
+Phase-3 matrix (conv-save remat mode, HEATNET_REMAT_STAGES 'c' stages —
+block conv outputs saved by name so the backward re-forward needs no conv
+recompute; see models/layers.CONV_SAVE_POLICY):
+
+  remat mask                 adv B=16 seg     vistas B=30
+  1110 (save mod5, r2)       472.5 ms         635.9 ms
+  111c (conv-save mod5)      477.2 ms         627.2 ms
+  11cc (conv-save mod4+5)    459.6 ms         617.0 ms   <- shipped default
+  cccc                       458.6 ms         OOM
+
 Smaller batches under the training rule (remat 1111): adv B=4 seg
 164.2 ms (the B=4 critic delta is below this method's noise floor — the
 negative value it produced is why scan_timeit now retries with a 3x
