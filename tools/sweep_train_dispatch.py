@@ -45,7 +45,15 @@ recompute; see models/layers.CONV_SAVE_POLICY):
   1110 (save mod5, r2)       472.5 ms         635.9 ms
   111c (conv-save mod5)      477.2 ms         627.2 ms
   11cc (conv-save mod4+5)    459.6 ms         617.0 ms   <- shipped default
+  1ccc (conv-save mod3-5)    457.4 ms         702.2 ms
   cccc                       458.6 ms         OOM
+
+1ccc ties 11cc on the adv step (457.4 vs 459.6, within run noise) but
+regresses Vistas 14%: mod3's held conv outputs at 96x192 push residency
+past the comfortable range and the scheduler pays for it, the same
+pressure that OOMs cccc outright. All-dense dispatch re-measured UNDER
+the 11cc remat default stays a loss on Vistas (650.9 vs 617.0 ms) — the
+work gate's mod5-native pick survives the remat-mode change.
 
 Smaller batches under the training rule (remat 1111): adv B=4 seg
 164.2 ms (the B=4 critic delta is below this method's noise floor — the
