@@ -53,7 +53,8 @@ def build_vistas(batch):
     vb = {"image": jnp.asarray(rng.rand(batch, 384, 768, 3), jnp.float32),
           "label": jnp.asarray(rng.randint(0, 14, (batch, 384, 768)),
                                jnp.int32)}
-    return step, st, (vb,)
+    probe = lambda s: s.params["mod1"]["conv1"]["kernel"]
+    return step, st, (vb,), probe
 
 
 def build_adv(batch):
@@ -89,7 +90,9 @@ def build_adv(batch):
     cfg = AdversarialConfig(modalities="ir_rgb", moddrop=True, irscale=True)
     seg_step, _ = make_adversarial_steps(model, cfg, None, None)
     k = jax.random.PRNGKey(0)
-    return (lambda st, b: seg_step(st, b, k)), state, (batch_d,)
+    probe = lambda st: (st.params["trgb_segnet"]["mod1"]["conv1"]["kernel"],
+                        st.params["critics_0"]["conv1"]["kernel"])
+    return (lambda st, b: seg_step(st, b, k)), state, (batch_d,), probe
 
 
 def main():
@@ -99,18 +102,65 @@ def main():
     ap.add_argument("kind", choices=["vistas", "adv"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--scan", action="store_true",
+                    help="trace the scan-differenced graph (the one "
+                         "tools/bench_train_step.py times) instead of the "
+                         "per-call step")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
     batch = args.batch or {"vistas": 30, "adv": 16}[args.kind]
 
-    step, state, batch_args = (build_vistas(batch) if args.kind == "vistas"
-                               else build_adv(batch))
+    step, state, batch_args, probe = (
+        build_vistas(batch) if args.kind == "vistas" else build_adv(batch))
+
+    if args.scan:
+        # Trace the EXACT graph the throughput bench times: N steps inside
+        # one jitted lax.scan with per-iteration batch perturbation. The
+        # per-call executable below compiles differently — under profiling
+        # residency XLA host-offloads cold params (S(1) copy-starts were
+        # 62% of its device time, 6320 ms/iter vs the scan's real 617) —
+        # so only this mode attributes the published numbers.
+        import jax.numpy as jnp
+
+        b0 = batch_args[0]
+        n = max(args.iters, 5)
+
+        def perturb(b, i):
+            return {k: (v + i * 1e-9
+                        if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                    for k, v in b.items()}
+
+        def body(st, i):
+            out = step(st, perturb(b0, i))
+            new = out[0] if isinstance(out, tuple) else out
+            return new, None
+
+        @jax.jit
+        def run(st):
+            st2, _ = jax.lax.scan(body, st, jnp.arange(n, dtype=jnp.float32))
+            return probe(st2)
+
+        out = run(state)
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
+        logdir = f"/tmp/heatnet_train_scantrace_{args.kind}"
+        jax.profiler.start_trace(logdir)
+        out = run(state)
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
+        jax.profiler.stop_trace()
+        parse_xplane(logdir, iters=n, top=30)
+        return
 
     # compile + cost model. The step returns (new_state, metrics); lower on
     # the concrete args.
     import jax.numpy as jnp  # noqa: F401
 
-    jitted = jax.jit(step)
+    # Donate the state: without it the profiled process keeps old+new
+    # state alive across the chained calls and XLA host-offloads cold
+    # params (S(1) copy-starts dominated the first trace of this step at
+    # 56.8% of device time, 5535 ms/iter vs the real 617) — the trace must
+    # run under the same residency the training loop has, where the state
+    # is threaded through scan/donation and only one copy is live.
+    jitted = jax.jit(step, donate_argnums=0)
     lowered = jitted.lower(state, *batch_args)
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, list):
@@ -123,13 +173,16 @@ def main():
           f"(compute floor {t_flop_ms:.1f} ms), {bytes_acc / 1e9:.2f} GB "
           f"HBM (bandwidth floor {t_hbm_ms:.1f} ms)", flush=True)
 
-    # warm up, then trace N steps (distinct states so nothing is hoisted)
-    new_state, _ = jitted(state, *batch_args)
-    jax.block_until_ready(new_state.params)
+    # warm up, then trace N steps. The state is DONATED through the chain
+    # (matching the training loop's residency); `state` and `new_state`
+    # references are dropped as they are consumed so exactly one copy is
+    # ever live on device.
+    st, _ = jitted(state, *batch_args)
+    del state
+    jax.block_until_ready(st.params)
     if args.trace:
         logdir = f"/tmp/heatnet_train_trace_{args.kind}"
         jax.profiler.start_trace(logdir)
-        st = state
         for _ in range(args.iters):
             st, metrics = jitted(st, *batch_args)
         jax.block_until_ready(st.params)
