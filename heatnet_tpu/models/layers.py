@@ -100,7 +100,7 @@ class StatNamedBatchNorm(nn.BatchNorm):
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None, *,
-                 mask=None):
+                 mask=None, fused_act=None):
         import flax
 
         from flax.linen.normalization import (_canonicalize_axes,
@@ -134,6 +134,36 @@ class StatNamedBatchNorm(nn.BatchNorm):
         if grouped:
             return self._grouped_train_call(
                 x, reduction_axes, feature_axes, ra_mean, ra_var)
+
+        # Lean fused BN+act (ops/lean_bn.py, HEATNET_BN_IMPL=lean): the
+        # train-mode byte-minimal path — hand-shaped VJP whose residuals
+        # are exactly the conv output + per-channel stats. Only valid for
+        # the plain train path (global-batch stats over axis 0, no
+        # cross-replica axis_name, no masking); callers opt in by passing
+        # ``fused_act`` (ABN does when the env knob is set).
+        if (fused_act is not None and not use_running_average
+                and self.axis_name is None and mask is None
+                and feature_axes == (x.ndim - 1,)):
+            from ..ops.lean_bn import lean_bn_act
+
+            feat = tuple(feature_shape)
+            scale = (self.param("scale", self.scale_init, feat,
+                                self.param_dtype) if self.use_scale
+                     else jnp.ones(feat, self.param_dtype))
+            bias = (self.param("bias", self.bias_init, feat,
+                               self.param_dtype) if self.use_bias
+                    else jnp.zeros(feat, self.param_dtype))
+            act_name, act_slope = fused_act
+            a, mean, var = lean_bn_act(x, scale, bias, float(self.epsilon),
+                                       act_name, float(act_slope))
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+            if self.dtype is not None:
+                a = a.astype(self.dtype)
+            return a
 
         if use_running_average:
             mean = (ra_mean.value if self.force_float32_reductions
@@ -259,7 +289,9 @@ class ABN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  skip_act: bool = False) -> jax.Array:
-        x = StatNamedBatchNorm(
+        import os
+
+        bn = StatNamedBatchNorm(
             use_running_average=not train,
             momentum=self.norm_act.bn_momentum,
             epsilon=self.norm_act.bn_epsilon,
@@ -267,7 +299,18 @@ class ABN(nn.Module):
             stats_groups=self.norm_act.bn_groups,
             dtype=self.dtype,
             name="bn",
-        )(x)
+        )
+        # HEATNET_BN_IMPL=lean: fused train-mode BN+act with the
+        # byte-minimal hand-shaped VJP (ops/lean_bn.py). Falls back to the
+        # flax path wherever the lean preconditions don't hold (eval,
+        # cross-replica stats, bn_groups, skip_act).
+        if (train and not skip_act
+                and os.environ.get("HEATNET_BN_IMPL") == "lean"
+                and self.norm_act.axis_name is None
+                and self.norm_act.bn_groups == 1):
+            return bn(x, fused_act=(self.norm_act.activation,
+                                    self.norm_act.leaky_slope))
+        x = bn(x)
         return x if skip_act else self.norm_act.act(x)
 
 
