@@ -38,6 +38,15 @@ default — save mod5, remat mod2-4; tools/sweep_train_dispatch.py):
   adv  B=16  seg 517.5 -> 472.5 ms / critic ~131 ms
   vistas B=8  196.9 ms (training rule, remat 1111)
   vistas B=30  701.9 -> 635.9 ms
+Round-4 (2026-08-20, shipped 11cc defaults, 17-step window below B=8 —
+the B=4 critic delta now resolves; full four-family matrix):
+  adv  B=4   seg 202.2 ms / critic 50.8 ms  (B=4 prefers remat 1111:
+             the 164.2 above; the default is tuned for the B=16/B=30
+             operating points)
+  adv  B=16  seg 459.5 ms / critic 130.5 ms  (reproduces round 3)
+  vistas B=8  176.5 ms   B=30  617.0 ms      (617.0 reproduced exactly)
+  cyclegan B=4 256^2: G step 325.2 ms / D step 3.1 ms
+  uncertainty B=10 80x176: 49.6 ms
 
 Run: `python tools/bench_train_step.py [adv_batches ...]`.
 """
