@@ -198,6 +198,45 @@ class ResNeXtSeg(nn.Module):
         out_4 = stage("mod4_1", 2, ch[2])(out_3, train)
         seg5 = stage("mod5_1", 3, ch[3])(out_4, train)
 
+        # The head (bn_out_1 + ASPP + decoder) sits OUTSIDE the stage remat
+        # masks, so in training every ASPP branch and FuseModule
+        # intermediate at 96x192 is saved for the backward. At the Vistas
+        # B=30 operating point those saves are what push the compiled scan
+        # step's temp memory to 15.50 GB (peak 15.41, measured via
+        # compiled.memory_analysis()) — flush against the 16 GB chip — and
+        # force the compiler to spill params/optimizer state to HOST
+        # memory: the step's device trace shows the Adam updates and
+        # data-grad fusions reading f32 kernels from S(1) at 10-50x their
+        # HBM floors (~130 ms of the 617 ms step). HEATNET_REMAT_HEAD=1
+        # remats the whole head with the bn-stats policy: intermediates
+        # recompute in the backward (one extra head forward, ~20 ms of
+        # MXU) and the freed residency keeps params on-chip.
+        if self.remat and os.environ.get("HEATNET_REMAT_HEAD", "0") == "1":
+            head_fn = nn.remat(ResNeXtSeg._head, static_argnums=(3, 4),
+                               policy=BN_STATS_SAVE_POLICY)
+        else:
+            head_fn = ResNeXtSeg._head
+        seg, fusion, seg_cert = head_fn(self, seg5, out_2, train,
+                                        forward_decoder)
+
+        # feature taps for the adversarial critics (trgb_segnet.py:399-400)
+        skip_down = adaptive_avg_pool(out_2, fusion.shape[1:3])
+        inter_f = [
+            seg,
+            jnp.concatenate([fusion, skip_down], axis=-1),
+            out_4,
+            out_3,
+            out_2,
+            out_1,
+        ]
+        return seg, inter_f, seg_cert
+
+    def _head(self, seg5, out_2, train, forward_decoder):
+        """bn_out_1 + ASPP + decoder (+cert) — split out so it can be
+        rematted as a unit (HEATNET_REMAT_HEAD); submodule names are
+        created in the same scope, so parameter paths are identical to
+        the inline form and checkpoints/torch imports are unaffected."""
+        norm_act, dtype = self.norm_act, self.dtype
         seg_d = ABN(norm_act, dtype, name="bn_out_1")(seg5, train)
 
         seg, fusion, seg_cf = ASPP(
@@ -223,18 +262,7 @@ class ResNeXtSeg(nn.Module):
             seg = seg.astype(jnp.float32)
         else:
             seg = None
-
-        # feature taps for the adversarial critics (trgb_segnet.py:399-400)
-        skip_down = adaptive_avg_pool(out_2, fusion.shape[1:3])
-        inter_f = [
-            seg,
-            jnp.concatenate([fusion, skip_down], axis=-1),
-            out_4,
-            out_3,
-            out_2,
-            out_1,
-        ]
-        return seg, inter_f, seg_cert
+        return seg, fusion, seg_cert
 
 
 def net_resnext50(**kw) -> ResNeXtSeg:

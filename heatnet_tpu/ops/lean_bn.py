@@ -40,10 +40,33 @@ running-stat updates built on the returned (mean, var) are bit-compatible
 with ``StatNamedBatchNorm``'s.
 
 Verified equivalent to the flax BN+act chain (forward, gradients, running
-stats) in ``tests/test_lean_bn.py``; measured against it on the real chip
-by ``tools/bench_bn_impl.py``. Reference semantics anchor: torch
+stats) in ``tests/test_lean_bn.py``. Reference semantics anchor: torch
 ``nn.BatchNorm2d`` in train mode as used by every ABN block
 (/root/reference/models/segnet.py:20-41).
+
+MEASURED OUTCOME (v5e, 2026-08-20, scan-differenced via
+``tools/sweep_train_dispatch.py "lean=HEATNET_BN_IMPL:lean@..."``): a
+WASH-to-slight-loss against the flax path under the shipped ``11cc``
+remat default — Vistas B=30 632.2 ms vs 617.0, adv B=16 seg 465.0 vs
+459.5 (critic 128.5 vs 130.5, within noise). Two reasons, confirmed by
+the per-op trace of the baseline step:
+
+1. XLA's autodiff + fusion already emits the BN backward at essentially
+   this op shape — the hypothesized redundant materializations
+   (cotangent mask, normalized activations) are fused away, so there was
+   little to win;
+2. ``jax.checkpoint`` does not look inside ``custom_vjp`` calls, so in
+   '1'-remat stages the ``bn_stats`` checkpoint_names here are invisible
+   to ``BN_STATS_SAVE_POLICY`` and the backward re-forward re-runs the
+   stat reduces the flax path skips — the measured ~15 ms Vistas
+   regression is mod2/mod3's re-run stat reduces.
+
+The op stays opt-in (``HEATNET_BN_IMPL=lean``) as a negative-result
+record; the flax path remains the default. The actual training-step
+headroom is elsewhere: the B=30 trace attributes the gap above the
+byte floor to backward-reduce/optimizer stalls and mod5 layout copies,
+not to BN pass structure (see README "Training steps vs their compiled
+floors").
 """
 
 from __future__ import annotations
