@@ -142,9 +142,25 @@ class ResNeXtSeg(nn.Module):
         # at 14.1 GB peak, host-offloading cold params (~2.4k copy-starts
         # in the compiled scan graph). Set "1111" for workloads larger
         # than the reference's where even the conv-out saves stop fitting.
+        # Round-4 addition, work-gated default: at small work volumes the
+        # step is nowhere near HBM capacity and every remat mode only adds
+        # recompute — "0000" (save everything) measures fastest — while at
+        # the large operating points "11cc" wins. Measured scan-differenced
+        # (v5e, tools/sweep_train_dispatch.py, 2026-08-21, N*H*W pixels of
+        # the modal-1 input in parentheses):
+        #   adv  B=4  (0.8M): 0000 195.0 ms vs 11cc 202.2, cccc 204.9
+        #   vistas B=8 (2.4M): 0000 167.5 ms vs 11cc 176.5, cccc 174.7
+        #   adv  B=16 (3.3M): 11cc 459.5 (0000-class OOMs/spills, r2)
+        #   vistas B=30 (8.8M): 11cc 617.0 (0000 OOM, r2)
+        # "auto" (the default) picks 0000 below 3M pixels, 11cc at or
+        # above — the winner at every measured point. Explicit masks
+        # override.
         import os
 
-        remat_mask = os.environ.get("HEATNET_REMAT_STAGES", "11cc")
+        remat_mask = os.environ.get("HEATNET_REMAT_STAGES", "auto")
+        if remat_mask == "auto":
+            n, h, w = modal_1.shape[:3]
+            remat_mask = "0000" if n * h * w < 3_000_000 else "11cc"
         remat_stage_cls = nn.remat(_Stage, static_argnums=(2,),
                                    policy=BN_STATS_SAVE_POLICY)
         # 'c' mode: remat with the block conv outputs ALSO saved

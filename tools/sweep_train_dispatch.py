@@ -59,7 +59,32 @@ Smaller batches under the training rule (remat 1111): adv B=4 seg
 164.2 ms (the B=4 critic delta is below this method's noise floor — the
 negative value it produced is why scan_timeit now retries with a 3x
 scan), vistas B=8 196.9 ms vs 207.4 with mod5 forced native — the 1.5e6
-work gate picks the winner at B=8 too.
+work gate picks the winner at B=8 too. (Round-4 correction: those
+small-batch round-3 numbers came from the old 5-step window; under the
+honest 17-step window the same configs measure ~20% higher — see below.)
+
+Round-4 matrix (2026-08-21, 17-step window below B=8; the basis for the
+work-gated "auto" remat default, trgb_segnet.py):
+
+  remat mask        adv B=4 seg/critic    vistas B=8    vistas B=30
+  11cc (r3 default) 202.2 / 50.8          176.5         617.0
+  0000              195.0 / 50.7          167.5         OOM (r2)
+  cccc              204.9 / 50.7          174.7         OOM (r3)
+  1111              206.8 / 50.5          (196.9 r3)    701.9
+  auto (=0000|11cc) 194.9 / 50.6          168.6         617-class
+
+(The 1111 row kills round-3's "adv B=4 seg 164.2 @1111" — that number
+came from the old 5-step window and does not reproduce at 17 steps.)
+
+Round-4 negative results at vistas B=30 (each measured, each shipped
+default-off or reverted): lean fused BN+act custom_vjp 632.2 (ops/
+lean_bn.py), HEATNET_REMAT_HEAD=1 645.1 (+28 ms head recompute for only
+0.4 GB of the 15.4 GB peak), disabling XLA's host-memory offload via
+forwarded compile options 617.1 (offload costs ~nothing), and the
+batch curve B=24 481.9 / B=20 485.8 (20.1 vs 20.6 ms/frame at B=30 —
+the spill-free operating point pays the same per-frame, so the
+gap-to-floor is op-mix bandwidth, not memory pressure; B=20 matching
+B=24 shows batch tiles pad to 8).
 
 Run: `python tools/sweep_train_dispatch.py [specs...]`.
 """
