@@ -78,6 +78,12 @@ def build(batch=1, donate=False, arg_vars=False):
         rgb_f = jnp.pad(rgb_f, ((0, 0), (0, 0), (2, 2), (0, 0)))
         ir_f = jnp.pad(ir_f, ((0, 0), (0, 0), (2, 2), (0, 0)))
         seg, _, _ = model.apply(variables, rgb_f, ir_f)
+        if os.environ.get("HEATNET_ARGMAX_BARRIER", "1") == "1":
+            # At batch 1 XLA fuses the final 8x8 ConvTranspose into the
+            # argmax as a scalarizing kLoop fusion with a size-1 lane dim
+            # — 13.76 ms of the 23.1 ms frame in the device trace. The
+            # barrier keeps the deconv a real MXU convolution.
+            seg = jax.lax.optimization_barrier(seg)
         return jnp.argmax(seg, axis=-1).astype(jnp.uint8)
 
     if arg_vars:

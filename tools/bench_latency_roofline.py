@@ -28,6 +28,19 @@ means the chain runs at the chip's own serial-op speed and further
 latency wins require FEWER ops (a different architecture), not better
 scheduling — the same closing argument the throughput roofline makes.
 
+MEASURED OUTCOME (2026-08-21): the chain calibration is a NEGATIVE
+result as a bandwidth probe — at 64 KiB-16 MiB the whole carry lives in
+VMEM across scan iterations, so mid-size deltas drown in relay noise
+(negative us/op) and 16 MiB reports 1619 GB/s, far above HBM peak: the
+synthetic chain never touches HBM the way the real graph does. What DID
+crack batch-1 was the other half of this workflow: the per-op trace
+parse found a single 13.76 ms kLoop fusion (the final ConvTranspose
+scalarized with a size-1 lane dim), fixed by
+models/layers.SubpixelConvTranspose — batch-1 24.1 -> 9.49 ms. The tool
+is kept for the trace-side op census (`count_device_ops`) and as the
+record of why "per-op overhead x op count" is not a valid TPU latency
+model: serial cost is layout/lowering-dependent per op, not a constant.
+
 Run on the real chip: python tools/bench_latency_roofline.py
 """
 
@@ -39,6 +52,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -46,7 +60,7 @@ V5E_PEAK_TFLOPS_BF16 = 197.0
 V5E_HBM_GBS = 819.0
 
 
-def calibrate_chain(size_bytes: int, n_small=32, n_large=160):
+def calibrate_chain(size_bytes: int, n_small=64, n_large=1024):
     """ms per dependent elementwise op on a bf16 tensor of ``size_bytes``.
 
     One op = read + write of the tensor (2x size_bytes of traffic) plus
@@ -63,7 +77,8 @@ def calibrate_chain(size_bytes: int, n_small=32, n_large=160):
         @jax.jit
         def run(x):
             def body(y, i):
-                return y * (1.0 + i * 1e-12) + 1e-6, None
+                m = (1.0 + i * 1e-12).astype(jnp.bfloat16)
+                return y * m + jnp.bfloat16(1e-6), None
             y, _ = jax.lax.scan(body, x, jnp.arange(k, dtype=jnp.float32))
             return y
 
