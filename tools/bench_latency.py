@@ -78,11 +78,16 @@ def build(batch=1, donate=False, arg_vars=False):
         rgb_f = jnp.pad(rgb_f, ((0, 0), (0, 0), (2, 2), (0, 0)))
         ir_f = jnp.pad(ir_f, ((0, 0), (0, 0), (2, 2), (0, 0)))
         seg, _, _ = model.apply(variables, rgb_f, ir_f)
-        if os.environ.get("HEATNET_ARGMAX_BARRIER", "1") == "1":
-            # At batch 1 XLA fuses the final 8x8 ConvTranspose into the
-            # argmax as a scalarizing kLoop fusion with a size-1 lane dim
-            # — 13.76 ms of the 23.1 ms frame in the device trace. The
-            # barrier keeps the deconv a real MXU convolution.
+        if os.environ.get("HEATNET_ARGMAX_BARRIER", "0") == "1":
+            # Pre-subpixel history: at batch 1 XLA fused the final
+            # lhs-dilated 8x8 ConvTranspose into the argmax as a
+            # scalarizing kLoop fusion (13.76 ms of the 23.1 ms frame);
+            # the barrier kept the deconv a real MXU convolution. With
+            # the subpixel decoder dispatch (round 4) the deconv is a
+            # standard 3x3 conv and the barrier is a measured no-op
+            # (9.51 ms without vs 9.49 with, scan-differenced, BENCH r5),
+            # so the DEFAULT is now OFF — the benched graph is exactly
+            # the user's apply+argmax serving graph (round-4 ADVICE).
             seg = jax.lax.optimization_barrier(seg)
         return jnp.argmax(seg, axis=-1).astype(jnp.uint8)
 
