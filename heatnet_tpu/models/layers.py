@@ -1008,8 +1008,16 @@ class SubpixelConvTranspose(nn.Module):
         # under subpixel, while batch 1 latency 24.1 -> 9.49 ms (the
         # kLoop scalarization only strikes small batches). Subpixel
         # serves below batch 8 (HEATNET_SUBPIXEL_MAX_BATCH).
-        if x.shape[0] >= int(os.environ.get("HEATNET_SUBPIXEL_MAX_BATCH",
-                                            "8")):
+        try:
+            lhs_dilated = bool(
+                x.shape[0] >= int(os.environ.get("HEATNET_SUBPIXEL_MAX_BATCH",
+                                                 "8")))
+        except Exception:
+            # symbolic batch (jax.export polymorphic shapes): the gate is
+            # inconclusive — serve the lhs-dilated form, correct at every
+            # batch (subpixel is a small-batch latency optimization)
+            lhs_dilated = True
+        if lhs_dilated:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kern.astype(self.dtype),
                 window_strides=(1, 1), padding=((f, f), (f, f)),

@@ -160,7 +160,17 @@ class ResNeXtSeg(nn.Module):
         remat_mask = os.environ.get("HEATNET_REMAT_STAGES", "auto")
         if remat_mask == "auto":
             n, h, w = modal_1.shape[:3]
-            remat_mask = "0000" if n * h * w < 3_000_000 else "11cc"
+            try:
+                small = bool(n * h * w < 3_000_000)
+            except Exception:
+                # symbolic dims (jax.export with a polymorphic batch,
+                # cli/export_model.py) make the comparison inconclusive;
+                # exports are inference graphs where the remat wrapper is
+                # inert, so either mask is correct — pick the large-work
+                # default (round-4 regression: InconclusiveDimension-
+                # Operation broke test_export_symbolic_batch)
+                small = False
+            remat_mask = "0000" if small else "11cc"
         remat_stage_cls = nn.remat(_Stage, static_argnums=(2,),
                                    policy=BN_STATS_SAVE_POLICY)
         # 'c' mode: remat with the block conv outputs ALSO saved
