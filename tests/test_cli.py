@@ -74,6 +74,7 @@ def test_main_cli_arch_pspnet(roots):
     assert os.path.exists(os.path.join(ckpt_dir, "checkpoint"))
 
 
+@pytest.mark.slow
 def test_conf_cli_short_training(roots, monkeypatch):
     import jax
 
@@ -119,6 +120,7 @@ def test_conf_cli_short_training(roots, monkeypatch):
         "periodic eval ran on stale (init-time) parameters"
 
 
+@pytest.mark.slow
 def test_conf_cli_eval_mfnet(roots):
     from heatnet_tpu.cli.train_conf import main
 
@@ -132,6 +134,7 @@ def test_conf_cli_eval_mfnet(roots):
     assert np.isfinite(miou) or np.isnan(miou)
 
 
+@pytest.mark.slow
 def test_conf_cli_infer(roots):
     from heatnet_tpu.cli.train_conf import main
 

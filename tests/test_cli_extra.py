@@ -36,6 +36,7 @@ def test_train_plain_cli(roots):
     assert os.path.exists(os.path.join(roots["base"], "plain_ckpt"))
 
 
+@pytest.mark.slow
 def test_cyclegan_train_then_test_cli(roots):
     from heatnet_tpu.cli.train_cyclegan import main as train_main
     from heatnet_tpu.cli.test_cyclegan import main as test_main
@@ -86,6 +87,7 @@ def test_baseline_calculate_result_protocol():
     assert iou[2] == pytest.approx(5 / 7)  # 5/(5 + (2+5) - 5)
 
 
+@pytest.mark.slow
 def test_eval_hotnet_cli(roots, tmp_path):
     from heatnet_tpu.cli.eval_hotnet import main
     import jax
@@ -159,6 +161,7 @@ def test_step_timer():
     assert "train_batch_time" in d and d["train_steps_per_sec"] > 0
 
 
+@pytest.mark.slow
 def test_dataset_qa_validate_and_stats(roots, capsys):
     from heatnet_tpu.cli.dataset_qa import main
 

@@ -60,6 +60,7 @@ def _load_params(ckpt):
     return load_checkpoint(ckpt)["state_dict"]["params"]
 
 
+@pytest.mark.slow
 def test_cert_branch(roots):
     ckpt = _run(roots, ["--cert_branch"], "ckpt_cert")
     params = _load_params(ckpt)
@@ -67,6 +68,7 @@ def test_cert_branch(roots):
     assert "up_seg_2_cert" in segnet and "fuse_seg_cert" in segnet
 
 
+@pytest.mark.slow
 def test_feedback_seg(roots):
     ckpt = _run(roots, ["--feedback_seg"], "ckpt_feedback")
     params = _load_params(ckpt)
@@ -74,18 +76,21 @@ def test_feedback_seg(roots):
     assert downs, f"no downscale feedback nets in {sorted(params)[:10]}"
 
 
+@pytest.mark.slow
 def test_train_input_adapter(roots):
     ckpt = _run(roots, ["--train_input_adapter"], "ckpt_adapter")
     params = _load_params(ckpt)
     assert any("adapter" in k for k in params), sorted(params)[:10]
 
 
+@pytest.mark.slow
 def test_arch_pspnet(roots):
     ckpt = _run(roots, ["--arch", "pspnet"], "ckpt_psp")
     params = _load_params(ckpt)
     assert "trgb_segnet" in params
 
 
+@pytest.mark.slow
 def test_night_supervision_teacher(roots):
     # fabricate a teacher: a normal tiny run's checkpoint (stores the
     # trgb_segnet/ subtree the teacher loader prefix-rewrites, :229)
@@ -146,6 +151,7 @@ def test_seg_phase_moves_segnet_not_critics(roots):
     assert not np.allclose(leaf_sums(p1, "critic"), leaf_sums(p2, "critic"))
 
 
+@pytest.mark.slow
 def test_vis_panels(roots):
     """--vis renders per-iteration panels headlessly (reference cv2 windows,
     train_trgb_segnet_conf.py:493-523)."""
@@ -161,6 +167,7 @@ def test_vis_panels(roots):
             "ir_day.png"} <= names
 
 
+@pytest.mark.slow
 def test_pretraining_handoff(roots, tmp_path_factory):
     """Vistas pretrain → adversarial trainer handoff: --pretraining loads a
     supervised checkpoint into the trgb_segnet subtree (conf_segnet.py:80-81,

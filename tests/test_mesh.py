@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -181,6 +183,7 @@ def test_spatial_sharding_matches_unsharded():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_two_process_train_conf(tmp_path):
     """VERDICT r1 #4: THE core trainer must run data-parallel across
     jax.distributed processes, not per-host islands. Two 1-device CPU
