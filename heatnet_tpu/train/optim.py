@@ -150,7 +150,12 @@ def create_optimizer(optimizer_config: Dict[str, Any],
     if wd:
         parts.append(optax.add_decayed_weights(wd))
     parts.append(tx)
-    return optax.chain(*parts) if len(parts) > 1 else tx
+    out = optax.chain(*parts) if len(parts) > 1 else tx
+    # HEATNET_FLAT_OPT=1: one fused update over a flat buffer — measured
+    # 617.0 -> 575.6 ms on the Vistas B=30 step (-6.7%). Opt-in because
+    # optax.flatten changes the opt_state checkpoint layout (resuming a
+    # tree-layout checkpoint requires the same flag setting).
+    return maybe_flatten(out)
 
 
 def masked_optimizer(tx: optax.GradientTransformation,
@@ -172,3 +177,26 @@ def _mask_to_labels(mask_tree):
     import jax
 
     return jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask_tree)
+
+
+def maybe_flatten(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Opt-in flat-buffer optimizer (``HEATNET_FLAT_OPT=1``): wrap ``tx``
+    in ``optax.flatten`` so the whole update runs as ONE fused kernel
+    over a single concatenated vector instead of one fusion per leaf.
+
+    Measured (v5e, tools/bench_residual_micro.py + bench_train_step.py,
+    2026-08-21): in ISOLATION the per-leaf tree update is near its byte
+    floor (2.22 ms vs 1.34 floor on the 39.2M-param Vistas tree;
+    flattened 3.18) — but in the FULL Vistas B=30 step the flag measures
+    **617.0 -> 575.6 ms (-6.7%)**: the per-op table's ~85 ms optimizer
+    attribution was per-leaf fusion scheduling overhead in the big
+    graph, not update-math throughput, and one fused flat update
+    recovers ~41 ms of it. Opt-in (not default) because flattening
+    changes the opt_state checkpoint layout: resuming a checkpoint
+    requires the same flag setting it was written with.
+    """
+    import os
+
+    if os.environ.get("HEATNET_FLAT_OPT") == "1":
+        return optax.flatten(tx)
+    return tx

@@ -341,3 +341,46 @@ def test_conv_save_remat_mode_grads_identical(monkeypatch):
         deltas = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(
             jax.tree_util.tree_leaves(base_g), jax.tree_util.tree_leaves(g))]
         assert max(deltas) < 1e-4, (mask, max(deltas))
+
+
+def test_flat_opt_identical_updates(monkeypatch):
+    """HEATNET_FLAT_OPT=1 (optax.flatten single-fused update; measured
+    617.0 -> 575.6 ms on the Vistas B=30 step) must be pure scheduling:
+    one supervised step produces bit-comparable params vs the tree-layout
+    default on the same grads."""
+    import optax
+
+    from heatnet_tpu.models import ResNeXtSeg
+    from heatnet_tpu.train.optim import create_optimizer, maybe_flatten
+    from heatnet_tpu.train.state import TrainState, init_model
+    from heatnet_tpu.train.supervised import make_train_step
+
+    model = ResNeXtSeg(structure=(1, 1, 1, 1), input_channels=3,
+                       classes=14, dtype=jnp.float32)
+    params, bs = init_model(model, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 64, 3)), None,
+                            init_kwargs={"train": True})
+    batch = {
+        "image": np.random.RandomState(0).rand(2, 32, 64, 3)
+        .astype(np.float32),
+        "label": np.random.RandomState(1).randint(0, 14, (2, 32, 64))
+        .astype(np.int32),
+    }
+
+    def one_step(flat):
+        if flat:
+            monkeypatch.setenv("HEATNET_FLAT_OPT", "1")
+        else:
+            monkeypatch.delenv("HEATNET_FLAT_OPT", raising=False)
+        tx = create_optimizer({"type": "Adam", "learning_rate": 1e-3,
+                               "schedule": {"type": "constant"}})
+        assert isinstance(tx, optax.GradientTransformation)
+        state = TrainState.create(model.apply, params, bs, tx)
+        state, _ = make_train_step(model)(state, batch)
+        return jax.tree_util.tree_leaves(state.params)
+
+    ref = one_step(flat=False)
+    flat = one_step(flat=True)
+    for a, b in zip(ref, flat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

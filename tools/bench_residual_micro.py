@@ -121,16 +121,45 @@ def bench_adam():
     out = {"n_params_m": round(n_params / 1e6, 1),
            "update_byte_floor_ms": round(floor_ms, 2)}
 
-    def run_variant(name, tx, p0, g):
-        st0 = (p0, tx.init(p0))
+    def run_variant(name, tx, p0, g_host):
+        def timed(n):
+            @jax.jit
+            def run(p0, opt0, g):
+                # g travels as a jit ARGUMENT (a closure would bake the
+                # whole grad tree into the executable as constants)
+                def step(st, i):
+                    p, opt = st
+                    updates, opt = tx.update(g, opt, p)
+                    return (optax.apply_updates(p, updates), opt), None
 
-        def step(st, i):
-            p, opt = st
-            updates, opt = tx.update(g, opt, p)
-            return (optax.apply_updates(p, updates), opt)
+                st, _ = jax.lax.scan(step, (p0, opt0),
+                                     jnp.arange(n, dtype=jnp.float32))
+                # touch EVERY param leaf: with constant grads the
+                # per-leaf update chains are mutually independent and
+                # XLA's loop simplifier DCEs any carried chain whose
+                # output is unobserved — a single-leaf probe measured
+                # 0.1 ms for the whole tree (first run of this tool)
+                return sum(jnp.ravel(l)[0]
+                           for l in jax.tree_util.tree_leaves(st[0]))
 
-        ms = scan_timeit(step, st0,
-                         lambda st: jax.tree_util.tree_leaves(st[0])[0])
+            opt0 = tx.init(p0)
+
+            def fetch(out):
+                np.asarray(jax.device_get(out)).ravel()[:1]
+
+            fetch(run(p0, opt0, g_host))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fetch(run(p0, opt0, g_host))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        for scale in (1, 3):
+            n_hi = 1 + 8 * scale
+            ms = (timed(n_hi) - timed(1)) / (n_hi - 1) * 1e3
+            if ms > 0.05:
+                break
         print(f"  adam[{name}]: {ms:.1f} ms/step "
               f"({ms / floor_ms:.1f}x byte floor)", flush=True)
         out[f"adam_{name}_ms"] = round(ms, 2)
@@ -180,6 +209,53 @@ def _bn_shapes():
     return shapes
 
 
+def _reduce_ms(x, dy, mean, inv, n_small=1, n_large=9):
+    """Scan-differenced ms for one dgamma/dbeta reduce; x/dy are jit args
+    (scan invariants), only the (2, C) accumulator is carried."""
+    import jax
+    import jax.numpy as jnp
+
+    def timed(n):
+        @jax.jit
+        def run(x, dy, st0):
+            def step(st, i):
+                dg, db = st
+                # xhat recomputes elementwise from x (what the real
+                # backward's reduce fusion does); the +i perturb fuses
+                # into the producer — no extra memory pass
+                dy_i = dy + i * jnp.bfloat16(1e-9)
+                xhat = (x.astype(jnp.float32) - mean) * inv
+                dgamma = jnp.sum(xhat * dy_i.astype(jnp.float32),
+                                 axis=(0, 1, 2))
+                dbeta = jnp.sum(dy_i.astype(jnp.float32), axis=(0, 1, 2))
+                return (dg + dgamma, db + dbeta), None
+
+            st, _ = jax.lax.scan(step, st0,
+                                 jnp.arange(n, dtype=jnp.bfloat16))
+            return st[0]
+
+        st0 = (jnp.zeros(mean.shape, jnp.float32),
+               jnp.zeros(mean.shape, jnp.float32))
+
+        def fetch(out):
+            np.asarray(jax.device_get(out)).ravel()[:1]
+
+        fetch(run(x, dy, st0))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fetch(run(x, dy, st0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    for scale in (1, 3):
+        n_hi = n_small + (n_large - n_small) * scale
+        ms = (timed(n_hi) - timed(n_small)) / (n_hi - n_small) * 1e3
+        if ms > 0.05:
+            return ms
+    return ms
+
+
 def bench_reduce():
     """dgamma/dbeta reduces at the captured shapes, grouped to fit HBM."""
     import jax
@@ -216,24 +292,16 @@ def bench_reduce():
     for shape, count in sorted(counts.items(), key=lambda kv: -np.prod(kv[0])):
         n, h, w, c = shape
         rng = np.random.RandomState(0)
+        # x/dy MUST travel as jit ARGUMENTS: closed-over they become
+        # executable constants and the first version of this tool spent
+        # 25+ min shipping a gigabyte executable through the compile
+        # relay without finishing one shape
         x = jnp.asarray(rng.randn(n, h, w, c), jnp.bfloat16)
         dy = jnp.asarray(rng.randn(n, h, w, c), jnp.bfloat16)
         mean = jnp.asarray(rng.randn(c), jnp.float32)
         inv = jnp.asarray(1.0 + rng.rand(c), jnp.float32)
 
-        def step(st, i):
-            dg, db = st
-            # xhat recomputes elementwise from x (exactly what the real
-            # backward's reduce fusion does); the +i perturb fuses into
-            # the producer so no extra memory pass is added
-            dy_i = dy + i * jnp.bfloat16(1e-9)
-            xhat = (x.astype(jnp.float32) - mean) * inv
-            dgamma = jnp.sum(xhat * dy_i.astype(jnp.float32), axis=(0, 1, 2))
-            dbeta = jnp.sum(dy_i.astype(jnp.float32), axis=(0, 1, 2))
-            return (dg + dgamma, db + dbeta)
-
-        st0 = (jnp.zeros((c,), jnp.float32), jnp.zeros((c,), jnp.float32))
-        ms = scan_timeit(step, st0, lambda st: st[0])
+        ms = _reduce_ms(x, dy, mean, inv)
         bytes_ = 2 * 2 * n * h * w * c
         floor = bytes_ / (V5E_HBM_GBS * 1e9) * 1e3
         rows.append({"shape": list(shape), "count": count,

@@ -295,7 +295,10 @@ def _run_one(kind: str, batch: int) -> None:
         params, bs = init_model(model, jax.random.PRNGKey(0),
                                 jnp.zeros((1, 384, 768, 3)), None,
                                 init_kwargs={"train": True})
-        st = TrainState.create(model.apply, params, bs, optax.adam(1e-5))
+        from heatnet_tpu.train.optim import maybe_flatten
+
+        st = TrainState.create(model.apply, params, bs,
+                               maybe_flatten(optax.adam(1e-5)))
         step = make_train_step(model)
         rng = np.random.RandomState(0)
         vb = {"image": jnp.asarray(rng.rand(B, 384, 768, 3), jnp.float32),

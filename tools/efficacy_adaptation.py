@@ -369,8 +369,12 @@ def main():
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
     if args.preset == "tiny":
-        args.height, args.width, args.batch = 48, 96, 4
-        args.steps_seg, args.eval_frames = 120, 16
+        # CPU-runnable scale for the slow test: big enough for the
+        # teacher to learn IR->class (48x96/120-step frames measured a
+        # null: teacher loss 0.46, full-arm day collapse 0.33)
+        args.height, args.width, args.batch = 64, 128, 4
+        args.steps_seg, args.eval_frames = 150, 16
+        args.steps_teacher = 400
         args.iter_initial_critic, args.iter_critic, args.iter_seg = 40, 20, 20
         args.dtype = "f32"
 
