@@ -723,6 +723,11 @@ def _int8_batch_ok(n) -> bool:
     latency-bound — halving MAC cost buys nothing while the
     quantize/dequantize elementwise passes add pure overhead. Override
     with ``HEATNET_INT8_MIN_BATCH`` (default 8, the first measured win).
+    Re-validated round 5 ON the subpixel-dispatch graphs
+    (tools/bench_small_batch_crossover.py, scan-differenced device ms):
+    batch 1 bf16+subpix 9.58 vs int8+subpix 15.47 (int8 still regresses
+    below 8), batch 8 int8+lhs 45.57 vs bf16+lhs 47.11 (int8 wins at 8)
+    — the gate stays 8 as a measured optimum of the four-corner sweep.
     A symbolic batch (jax.export artifacts) counts as the throughput
     regime, consistent with GroupedConvDense's dispatch assumption."""
     import os
@@ -1007,7 +1012,13 @@ class SubpixelConvTranspose(nn.Module):
         # on the flagship (v5e): batch 128 throughput 447.7 -> 432.6 fps
         # under subpixel, while batch 1 latency 24.1 -> 9.49 ms (the
         # kLoop scalarization only strikes small batches). Subpixel
-        # serves below batch 8 (HEATNET_SUBPIXEL_MAX_BATCH).
+        # serves batches BELOW HEATNET_SUBPIXEL_MAX_BATCH (an EXCLUSIVE
+        # threshold despite the name — batch 8 serves lhs-dilated under
+        # the default of 8; round-4 ADVICE). The round-5 four-corner
+        # sweep (tools/bench_small_batch_crossover.py, README table)
+        # confirms 8 is the measured crossover: subpix wins through
+        # batch 4 (22.3 vs 34.3 ms pipelined), lhs-dilated from batch 8
+        # (47.1 vs 48.1 scan device ms).
         try:
             lhs_dilated = bool(
                 x.shape[0] >= int(os.environ.get("HEATNET_SUBPIXEL_MAX_BATCH",
