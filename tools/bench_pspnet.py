@@ -21,6 +21,12 @@ Measured v5e numbers (2026-08-17, single chip):
                   +11.5% over bf16 at the same batch, ~equal to the bf16
                   batch-128 sweet spot; PSPNet's dense convs all ride the
                   Int8Conv path so it gains more per-batch than ResNeXt.
+
+Round 5 (2026-08-21, chunked PSP bottleneck — models/pspnet.PSPModule
+default dispatch; bf16): batch 8: 199.7, batch 64: 342.9, batch 128:
+396.0 fps (+11/+17/+20%). Per-stage roofline in
+tools/bench_pspnet_roofline.py / README. (The int8 row above predates
+the chunked dispatch.)
 """
 
 from __future__ import annotations
