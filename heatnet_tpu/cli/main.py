@@ -76,7 +76,7 @@ def main(argv=None) -> float:
     from ..parallel.mesh import (DATA_AXIS, mesh_for_batch,
                                  maybe_initialize_distributed, pad_batch_to,
                                  replicate, shard_batch)
-    from ..train.optim import poly_lr
+    from ..train.optim import poly_lr, maybe_flatten
     from ..train.state import TrainState, init_model
     from ..train.supervised import make_eval_step, make_train_step
     from ..utils.config import load_config
@@ -147,7 +147,8 @@ def main(argv=None) -> float:
     tx_parts = []
     if clip and clip > 0:
         tx_parts.append(optax.clip_by_global_norm(clip))
-    tx_parts.append(optax.adam(poly_lr(base_lr, max_iter=total_steps)))
+    tx_parts.append(maybe_flatten(
+        optax.adam(poly_lr(base_lr, max_iter=total_steps))))
     tx = optax.chain(*tx_parts) if len(tx_parts) > 1 else tx_parts[0]
 
     state = TrainState.create(model.apply, params, batch_stats, tx)

@@ -51,7 +51,7 @@ def main(argv=None) -> float:
     from ..models import Discriminator, Generator, ResNeXtSeg
     from ..train.cyclegan import (CycleGANState, DeviceReplayBuffer,
                                   make_cyclegan_steps)
-    from ..train.optim import lambda_linear_decay
+    from ..train.optim import lambda_linear_decay, maybe_flatten
 
     # multi-host: join the jax.distributed world BEFORE any device
     # use (VERDICT r1: only cli/main.py initialized multi-host; on a
@@ -90,7 +90,7 @@ def main(argv=None) -> float:
         steps_per_epoch = min(steps_per_epoch, opt.max_iters_per_epoch)
     sched = lambda_linear_decay(opt.n_epochs, opt.epoch, opt.decay_epoch,
                                 opt.lr, steps_per_epoch)
-    adam = lambda: optax.adam(sched, b1=0.5, b2=0.999)
+    adam = lambda: maybe_flatten(optax.adam(sched, b1=0.5, b2=0.999))
     state = CycleGANState.create(g_params, seg_vars.get("batch_stats"),
                                  d_a_params, d_b_params, adam(), adam())
 

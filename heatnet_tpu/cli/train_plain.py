@@ -46,7 +46,7 @@ def main(argv=None) -> float:
     from ..io.logging import AverageMeter, RunLogger
     from ..models import ResNeXtSeg
     from ..parallel.mesh import maybe_initialize_distributed, mesh_for_batch, replicate, shard_batch
-    from ..train.optim import lambda_linear_decay
+    from ..train.optim import lambda_linear_decay, maybe_flatten
     from ..train.state import TrainState, init_model
     from ..train.supervised import cross_entropy_ignore
 
@@ -78,7 +78,8 @@ def main(argv=None) -> float:
     sched = lambda_linear_decay(opt.n_epochs, opt.epoch, opt.decay_epoch,
                                 opt.lr, steps_per_epoch)
     state = TrainState.create(model.apply, params, batch_stats,
-                              optax.adam(sched, b1=0.5, b2=0.999))
+                              maybe_flatten(
+                                  optax.adam(sched, b1=0.5, b2=0.999)))
 
     mesh = mesh_for_batch(opt.batch_size)
     state = replicate(mesh, state)

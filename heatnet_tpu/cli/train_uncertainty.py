@@ -42,7 +42,7 @@ def main(argv=None) -> float:
     from ..io.checkpoint import save_checkpoint
     from ..io.logging import AverageMeter, RunLogger
     from ..models.segnetsplit import ResNeXtDecoder, ResNeXtEncoder
-    from ..train.optim import lambda_linear_decay
+    from ..train.optim import lambda_linear_decay, maybe_flatten
     from ..train.uncertainty import UncertaintyState, make_uncertainty_step
 
     # multi-host: join the jax.distributed world BEFORE any device
@@ -90,7 +90,8 @@ def main(argv=None) -> float:
     sched = lambda_linear_decay(opt.n_epochs, opt.epoch, opt.decay_epoch,
                                 opt.lr, steps_per_epoch)
     state = UncertaintyState.create(params, stats,
-                                    optax.adam(sched, b1=0.5, b2=0.999))
+                                    maybe_flatten(
+                                        optax.adam(sched, b1=0.5, b2=0.999)))
     step = make_uncertainty_step(enc1, enc2, seg_dec, unc_dec)
 
     seg_meter, unc_meter = AverageMeter(), AverageMeter()
